@@ -1,0 +1,17 @@
+"""TPU-native RGB-D SLAM engine (JAX/XLA/Pallas).
+
+A from-scratch re-design of the capabilities of BaptisteHudyma/RGB-D-SLAM for TPU
+hardware: batched, masked, fixed-capacity array programming instead of per-feature
+object graphs; Pallas kernels for the hot image ops; pjit/shard_map over device meshes
+for the distributed bundle-adjustment backend.
+"""
+
+import jax as _jax
+
+# TPU MXU default matmul precision is bf16; the SLAM pipeline's small-matrix algebra
+# (4x4 transforms, covariance propagation, Kalman/LM solves) needs true f32.  Hot
+# kernels that want bf16 request it explicitly via ``preferred_element_type`` /
+# ``precision`` arguments, so this default costs nothing where it matters.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+__version__ = "0.1.0"

@@ -1,0 +1,239 @@
+"""Static configuration for the TPU-native RGB-D SLAM engine.
+
+Design: the reference keeps compile-time ``constexpr`` parameter namespaces plus a
+static camera-intrinsics singleton loaded from YAML (reference: src/parameters.hpp:10-112,
+src/parameters.cpp:10-74).  Here everything is a frozen dataclass: hyper-parameters are
+*static* (hashable, used as jit-static args / Python constants baked into traces) and the
+camera model is a small pytree of arrays passed explicitly — no global mutable state, which
+keeps every function pure and jittable.
+
+Units follow the reference: millimeters for distances, pixels for screen space, radians
+for angles unless suffixed ``_d`` (degrees).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DepthNoiseModel:
+    """Kinect depth-quantization noise model (reference: src/parameters.hpp:13-18,
+    src/utils/covariances.cpp:12-19).
+
+    Minimum depth disparity at depth z (mm) is ``a + b*z + c*z^2``, floored at 0.5 mm.
+    The constants are stored in the reference's published units ("2012 - 3D with Kinect")
+    and rescaled exactly as covariances.cpp does.
+    """
+
+    sigma_error: float = 2.73       # quadratic term, scaled by (1/1000)^2
+    sigma_multiplier: float = 0.74  # linear term, scaled by 1/1000
+    sigma_margin: float = -0.53     # constant term
+    floor_mm: float = 0.5
+
+    @property
+    def quadratic(self) -> float:
+        return self.sigma_error * (1.0 / 1000.0) ** 2
+
+    @property
+    def linear(self) -> float:
+        return self.sigma_multiplier / 1000.0
+
+    @property
+    def constant(self) -> float:
+        return self.sigma_margin
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """RANSAC thresholds (reference: src/parameters.hpp:22-44)."""
+
+    max_retroprojection_error_point2d_px: float = 3.0
+    max_retroprojection_error_point_px: float = 3.0
+    max_retroprojection_error_plane_mm: float = 50.0
+    max_retroprojection_error_plane_normal: float = 0.2
+    min_inlier_proportion_early_stop: float = 0.80
+    probability_of_success: float = 0.8
+    inlier_proportion: float = 0.65
+    feature_trust_count: float = 10.0
+
+    min_point_count: int = 5      # minimumPointForOptimization
+    min_point2d_count: int = 5    # minimumPoint2dForOptimization
+    min_plane_count: int = 3      # minimumPlanesForOptimization
+
+    @property
+    def max_iterations(self) -> int:
+        """Iteration count from the standard RANSAC success-probability formula
+        (reference: src/pose_optimization/pose_optimization.cpp:129-132)."""
+        num = math.log(1.0 - self.probability_of_success)
+        den = math.log(1.0 - self.inlier_proportion ** self.feature_trust_count)
+        return max(1, int(math.ceil(num / den)))
+
+
+@dataclass(frozen=True)
+class DetectionConfig:
+    """Feature detection parameters (reference: src/parameters.hpp:47-87)."""
+
+    # keypoints
+    tracked_mask_radius_px: float = 15.0
+    keypoint_cell_detection_height_count: int = 3
+    keypoint_cell_detection_width_count: int = 3
+    max_point_per_frame: int = 100
+    keypoint_refresh_frequency: int = 5
+
+    # optical flow
+    optical_flow_pyramid_depth: int = 4
+    optical_flow_window_height: int = 9
+    optical_flow_window_width: int = 12
+    optical_flow_max_error_px: float = 35.0  # fwd-bwd round-trip gate
+    optical_flow_iterations: int = 10
+
+    # FAST detector
+    fast_threshold: int = 20
+    fast_threshold_low: int = 10  # more-sensitive fallback tier
+
+    # inverse depth
+    inverse_depth_baseline: float = 1.0 / 1000.0      # 1/mm
+    inverse_depth_angle_baseline_d: float = 0.5       # degrees
+
+    # plane detection (CAPE)
+    min_plane_seed_proportion: float = 0.8 / 100.0
+    min_cell_activated_proportion: float = 0.65 / 100.0
+    min_zero_depth_proportion: float = 0.7
+    max_plane_merge_angle_d: float = 18.0
+    max_plane_merge_distance_mm: float = 50.0
+    depth_patch_size_px: int = 20
+
+    # cylinder RANSAC
+    cylinder_ransac_sqrt_max_distance: float = 0.04
+    cylinder_ransac_min_score: float = 75.0
+    cylinder_ransac_inlier_proportion: float = 0.33
+    cylinder_ransac_probability_of_success: float = 0.8
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Feature matching parameters (reference: src/parameters.hpp:89-100)."""
+
+    min_plane_overlap_for_match: float = 0.4  # IoU-like inter/area gate
+    max_plane_match_angle_d: float = 20.0
+    max_plane_match_distance_mm: float = 100.0
+    match_search_radius_px: float = 30.0
+    max_match_distance: float = 0.7  # Lowe ratio for descriptor matching
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local map lifecycle parameters (reference: src/parameters.hpp:102-110)."""
+
+    point_unmatched_count_to_loose: int = 10
+    plane_unmatched_count_to_loose: int = 10
+    point_staged_age_confidence: int = 3
+    point_min_confidence_for_map: float = 0.9
+    # plane staged lifecycle (reference: src/map_management/map_primitive.cpp:286-288)
+    plane_staged_promote_hits: int = 4
+    plane_staged_drop_misses: int = 2
+
+    # fixed SoA capacities (TPU design: masked fixed-size arrays replace the reference's
+    # unordered_map feature containers, SURVEY.md §7)
+    max_points_3d: int = 512
+    max_points_2d: int = 256
+    max_planes: int = 32
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine behavior (reference: src/rgbd_slam.cpp)."""
+
+    max_failed_tracking: int = 3      # consecutive failures before tracking lost
+    min_depth_mm: float = 40.0        # src/coordinates/point_coordinates.cpp:16
+    max_depth_mm: float = 6000.0      # src/coordinates/point_coordinates.cpp:17
+    pose_covariance_mc_iterations: int = 100  # pose_optimization.cpp:361-437
+    lm_iterations: int = 16           # fixed-iteration batched LM (replaces Eigen LM)
+    ransac_hypothesis_batch: int = 64 # batched hypotheses replace tbb loop
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    depth_noise: DepthNoiseModel = field(default_factory=DepthNoiseModel)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    detection: DetectionConfig = field(default_factory=DetectionConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole camera model for one camera.  Static (Python floats) so that projection
+    code can bake them into jitted traces; the reference equivalent is the static
+    ``Parameters::get_camera_1_*`` accessors (src/parameters.hpp:119-191)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 550.0
+    fy: float = 550.0
+    cx: float = 320.0
+    cy: float = 240.0
+
+    @property
+    def matrix(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]]
+        )
+
+
+@dataclass(frozen=True)
+class CameraSetup:
+    """RGB (camera 1) + depth (camera 2) rig, mirroring the reference's two-camera YAML
+    config (examples/configuration_example.yaml, src/parameters.cpp:10-74)."""
+
+    rgb: CameraIntrinsics = field(default_factory=CameraIntrinsics)
+    depth: CameraIntrinsics = field(default_factory=CameraIntrinsics)
+    # depth->rgb extrinsics as a 4x4 row-major tuple (static); identity by default
+    depth_to_rgb: tuple = (
+        (1.0, 0.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0, 0.0),
+        (0.0, 0.0, 1.0, 0.0),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+
+
+def load_camera_yaml(path: str) -> CameraSetup:
+    """Parse the reference's camera YAML format (examples/configuration_example.yaml;
+    parser parity: src/parameters.cpp:10-57).  Uses a minimal hand parser to avoid an
+    OpenCV FileStorage dependency."""
+    values: dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if ":" in line:
+                key, _, val = line.partition(":")
+                try:
+                    values[key.strip()] = float(val.strip())
+                except ValueError:
+                    continue
+
+    def cam(prefix: str) -> CameraIntrinsics:
+        return CameraIntrinsics(
+            width=int(values.get(f"{prefix}SizeX", 640)),
+            height=int(values.get(f"{prefix}SizeY", 480)),
+            fx=values.get(f"{prefix}FocalX", 550.0),
+            fy=values.get(f"{prefix}FocalY", 550.0),
+            cx=values.get(f"{prefix}CenterX", 320.0),
+            cy=values.get(f"{prefix}CenterY", 240.0),
+        )
+
+    return CameraSetup(rgb=cam("camera1"), depth=cam("camera2"))
+
+
+# Default TUM freiburg1 intrinsics (TUM fr1 standard calibration)
+TUM_FR1 = CameraIntrinsics(width=640, height=480, fx=517.3, fy=516.5, cx=318.6, cy=255.3)
+DEFAULT_CONFIG = SlamConfig()
