@@ -1,0 +1,1 @@
+from . import features, optimizer, residuals  # noqa: F401
