@@ -1,0 +1,1 @@
+from . import brief, depth_cloud, fast, image, matching, optical_flow  # noqa: F401

@@ -1,0 +1,183 @@
+"""FAST-9/16 corner detection, fully vectorized for the TPU VPU.
+
+The reference uses per-cell OpenCV FAST detectors with a two-tier threshold
+(src/features/keypoints/keypoint_detection.cpp:48-65, 404-474).  Here the segment test
+evaluates over the WHOLE image at once: 16 rolled copies of the image give the
+Bresenham circle, boolean algebra finds 9-contiguous arcs, and non-maximum suppression
+plus per-cell top-K budgeting replace the per-cell detector objects.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .image import max_pool_same
+
+# Bresenham circle of radius 3, 16 points, in (dy, dx) order starting at 12 o'clock
+# going clockwise (OpenCV order).
+CIRCLE_OFFSETS = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+ARC_LENGTH = 9  # FAST-9
+
+
+def _shifted_stack(img):
+    """[16, H, W] stack of the circle-neighbor images (borders replicate; border
+    responses are suppressed later)."""
+    outs = []
+    for dy, dx in CIRCLE_OFFSETS:
+        outs.append(jnp.roll(img, (-dy, -dx), axis=(0, 1)))
+    return jnp.stack(outs, axis=0)
+
+
+def fast_response(img, threshold: float):
+    """FAST-9/16 segment test + corner score over the whole image.
+
+    Returns (is_corner [H, W] bool, score [H, W] float).  The score is the sum of
+    absolute circle differences beyond the threshold (an NMS-ranking score, like
+    OpenCV's ``FAST`` score semantics for ordering)."""
+    shifted = _shifted_stack(img)  # [16, H, W]
+    center = img[None]
+    brighter = shifted > center + threshold
+    darker = shifted < center - threshold
+
+    def has_arc(bits):
+        # 9-contiguous circular run: OR over all 16 starts of AND over 9 bits
+        out = jnp.zeros_like(bits[0])
+        for start in range(16):
+            run = bits[start]
+            for j in range(1, ARC_LENGTH):
+                run = run & bits[(start + j) % 16]
+            out = out | run
+        return out
+
+    is_corner = has_arc(brighter) | has_arc(darker)
+
+    diff = jnp.abs(shifted - center) - threshold
+    score = jnp.sum(jnp.maximum(diff, 0.0), axis=0)
+
+    # suppress the 3-px border (rolled copies wrap around there)
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return is_corner & interior, jnp.where(is_corner & interior, score, 0.0)
+
+
+def _subpixel_refine(score, ys, xs):
+    """Quadratic 1D fits on the score surface around each detected corner
+    (replaces cv::cornerSubPix, keypoint_detection.cpp:100-105)."""
+    h, w = score.shape
+    flat = score.reshape(-1)
+
+    def at(y, x):
+        y = jnp.clip(y, 0, h - 1)
+        x = jnp.clip(x, 0, w - 1)
+        return flat[y * w + x]
+
+    c = at(ys, xs)
+    dx = at(ys, xs - 1) - 2 * c + at(ys, xs + 1)
+    dy = at(ys - 1, xs) - 2 * c + at(ys + 1, xs)
+    ox = jnp.where(jnp.abs(dx) > 1e-6,
+                   0.5 * (at(ys, xs - 1) - at(ys, xs + 1)) / jnp.where(jnp.abs(dx) > 1e-6, dx, 1.0),
+                   0.0)
+    oy = jnp.where(jnp.abs(dy) > 1e-6,
+                   0.5 * (at(ys - 1, xs) - at(ys + 1, xs)) / jnp.where(jnp.abs(dy) > 1e-6, dy, 1.0),
+                   0.0)
+    return (xs.astype(score.dtype) + jnp.clip(ox, -0.5, 0.5),
+            ys.astype(score.dtype) + jnp.clip(oy, -0.5, 0.5))
+
+
+@partial(jax.jit, static_argnames=("max_points", "cell_rows", "cell_cols"))
+def detect_fast_grid(img, detection_mask=None, threshold: float = 20.0,
+                     low_threshold: float = 10.0, max_points: int = 100,
+                     cell_rows: int = 3, cell_cols: int = 3):
+    """Grid-budgeted FAST detection (reference: perform_keypoint_detection,
+    keypoint_detection.cpp:404-474 — a cell_rows x cell_cols grid of detectors with a
+    more sensitive fallback tier, then a global point budget of ``max_points``).
+
+    ``detection_mask`` (optional [H, W] bool) disables detection where False — the
+    already-tracked-point mask (compute_key_point_mask, keypoint_detection.cpp:111-156).
+
+    Returns (xy [max_points, 2] float, score [max_points], valid [max_points] bool)."""
+    is_corner, score = fast_response(img, threshold)
+    is_corner_low, score_low = fast_response(img, low_threshold)
+
+    if detection_mask is not None:
+        is_corner = is_corner & detection_mask
+        is_corner_low = is_corner_low & detection_mask
+
+    def nms(corner, sc):
+        sc = jnp.where(corner, sc, 0.0)
+        pooled = max_pool_same(sc, 3)
+        return jnp.where((sc >= pooled) & corner, sc, 0.0)
+
+    nms_hi = nms(is_corner, score)
+    nms_lo = nms(is_corner_low, score_low)
+
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    cell = (ys * cell_rows // h) * cell_cols + (xs * cell_cols // w)
+
+    n_cells = cell_rows * cell_cols
+    per_cell = -(-max_points // n_cells)  # ceil budget per cell
+
+    # two-tier: use the sensitive tier only in cells where the high tier found
+    # fewer than the cell budget (keypoint_detection.cpp:435-452)
+    hi_counts = jax.ops.segment_sum(
+        (nms_hi > 0).astype(jnp.int32).reshape(-1), cell.reshape(-1),
+        num_segments=n_cells)
+    use_low = (hi_counts < per_cell)[cell]
+    merged = jnp.where(nms_hi > 0, nms_hi, jnp.where(use_low, nms_lo, 0.0))
+
+    # per-cell top-K then global top max_points: rank key pushes each cell's best
+    # points ahead by (cell-local rank), implemented via two sorts
+    flat_score = merged.reshape(-1)
+    flat_cell = cell.reshape(-1)
+
+    # sort by (cell, -score) to get per-cell ranks
+    order = jnp.lexsort((-flat_score, flat_cell))
+    sorted_cell = flat_cell[order]
+    ranks = jnp.arange(flat_score.shape[0], dtype=jnp.int32)
+    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells, dtype=jnp.int32))
+    rank_in_cell = ranks - cell_start[sorted_cell]
+    keep_sorted = (rank_in_cell < per_cell) & (flat_score[order] > 0)
+
+    # global top-max_points among kept candidates by score
+    cand_score = jnp.where(keep_sorted, flat_score[order], -1.0)
+    top_scores, top_pos = jax.lax.top_k(cand_score, max_points)
+    top_flat = order[top_pos]
+    valid = top_scores > 0
+
+    ys_sel = top_flat // w
+    xs_sel = top_flat % w
+    x_ref, y_ref = _subpixel_refine(merged, ys_sel, xs_sel)
+    xy = jnp.stack([x_ref, y_ref], axis=-1)
+    xy = jnp.where(valid[:, None], xy, 0.0)
+    return xy, jnp.where(valid, top_scores, 0.0), valid
+
+
+def tracked_points_mask(shape, tracked_xy, tracked_valid, radius: float = 15.0):
+    """Detection mask disabling a disk of ``radius`` px around each tracked point
+    (reference: compute_key_point_mask, keypoint_detection.cpp:111-156).  Returns a
+    [H, W] bool mask, True where detection is allowed."""
+    h, w = shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def body(carry, inp):
+        mask = carry
+        xy, ok = inp
+        d2 = (xs - xy[0]) ** 2 + (ys - xy[1]) ** 2
+        mask = mask & ~(ok & (d2 <= radius * radius))
+        return mask, None
+
+    mask0 = jnp.ones((h, w), dtype=bool)
+    mask, _ = jax.lax.scan(body, mask0, (tracked_xy, tracked_valid))
+    return mask

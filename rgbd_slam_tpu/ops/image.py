@@ -1,0 +1,106 @@
+"""Core image operations: blur, pyramids, gradients, bilinear sampling.
+
+These are the building blocks of the feature-extraction front end (the reference
+delegates them to OpenCV: buildOpticalFlowPyramid, boxFilter inside BRIEF, etc.).
+Everything is pure jnp on [H, W] float32 images — XLA fuses the stencils; Pallas
+variants can swap in later for the hot paths without changing callers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_GAUSS_5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def _sep_filter(img, kernel):
+    """Separable 2D filter with edge replication, [H, W] -> [H, W]."""
+    k = kernel.astype(img.dtype)
+    r = k.shape[0] // 2
+    padded = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    out = jnp.zeros_like(img)
+    for i in range(k.shape[0]):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(padded, i, img.shape[0], 0)
+    padded = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
+    out2 = jnp.zeros_like(img)
+    for i in range(k.shape[0]):
+        out2 = out2 + k[i] * jax.lax.dynamic_slice_in_dim(padded, i, img.shape[1], 1)
+    return out2
+
+
+def gaussian_blur5(img):
+    """5-tap binomial blur (the pyrDown kernel)."""
+    return _sep_filter(img, _GAUSS_5)
+
+
+def box_filter(img, size: int):
+    """Box sum filter of odd ``size`` (the BRIEF pre-smoothing; OpenCV BRIEF uses a
+    9x9 box sum via integral images)."""
+    k = jnp.ones((size,), dtype=img.dtype)
+    return _sep_filter(img, k)
+
+
+def pyr_down(img):
+    """Gaussian blur + 2x decimation (cv::pyrDown equivalent)."""
+    return gaussian_blur5(img)[::2, ::2]
+
+
+def build_pyramid(img, levels: int):
+    """Image pyramid [level0=full ... levelN] (reference: buildOpticalFlowPyramid,
+    keypoint_detection.cpp:184)."""
+    pyr = [img]
+    for _ in range(levels):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def gradients(img):
+    """Central-difference gradients (Ix, Iy) with replicated edges."""
+    ix = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    iy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    # kill wrap-around at borders
+    ix = ix.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    iy = iy.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return ix, iy
+
+
+def bilinear_sample(img, xy):
+    """Bilinear interpolation of [H, W] image at float (x, y) positions [..., 2].
+    Coordinates are clipped to the valid range (border replication)."""
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.000001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = x - x0.astype(img.dtype)
+    fy = y - y0.astype(img.dtype)
+
+    flat = img.reshape(-1)
+    def at(yi, xi):
+        return flat[yi * w + xi]
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x1)
+    v10 = at(y1, x0)
+    v11 = at(y1, x1)
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))
+
+
+def in_border(xy, h: int, w: int, margin: float = 1.0):
+    """Strict in-image test with margin (reference: is_in_border,
+    keypoint_detection.cpp)."""
+    return ((xy[..., 0] >= margin) & (xy[..., 0] < w - margin)
+            & (xy[..., 1] >= margin) & (xy[..., 1] < h - margin))
+
+
+@partial(jax.jit, static_argnames=("window",))
+def max_pool_same(img, window: int = 3):
+    """Max pool with 'same' padding for non-maximum suppression."""
+    return jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, (window, window), (1, 1), "SAME")
