@@ -1,0 +1,1 @@
+from . import primitives  # noqa: F401

@@ -1,0 +1,480 @@
+"""CAPE-style plane & cylinder extraction from the cell-organized depth cloud.
+
+TPU-first redesign of reference src/features/primitives/ (plane_segment.cpp,
+primitive_detection.cpp, cylinder_segment.cpp, histogram.hpp):
+
+* per-cell plane fits: ONE batched moment computation + batched 3x3 eigh over all
+  cells (replaces the sequential init_planar_cell_fitting loop,
+  primitive_detection.cpp:187-237).  Moments are stored CENTERED (count, mean, M2)
+  and combined with Chan's parallel-axis rule — additive like the reference's raw-sum
+  ``expand_segment`` (plane_segment.cpp:170-190) but stable in f32 (see moments.py);
+* region growing: the reference's recursive chained merge test
+  (primitive_detection.cpp:778-818) is *pairwise between adjacent cells* — the merge
+  decision compares the previously accepted cell's patch with the candidate cell — so
+  mergeability becomes 4 precomputed directed edge maps and each seed's growth is
+  masked label propagation to a fixpoint (`lax.while_loop`), no recursion;
+* the seed loop (histogram most-frequent-bin -> min-MSE seed -> grow -> fit,
+  primitive_detection.cpp:267-390) stays sequential but bounded (`lax.scan` over a
+  static seed budget) — plane counts per frame are small;
+* plane merging (primitive_detection.cpp:503-560) uses the cell-map adjacency matrix
+  and pairwise moment combination;
+* boundary polygons: cross-erode/square-dilate mask difference, cell-center points
+  within 3 sqrt(MSE) of the plane (primitive_detection.cpp:650-703), star-hulled in
+  the plane basis (convex stand-in for the unreliable concave hull, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraIntrinsics, DetectionConfig
+from ..geometry.covariances import get_depth_quantization
+from ..ops.depth_cloud import depth_to_cloud, organize_by_cells
+from ..utils import polygon as poly
+from . import moments
+
+MAX_PLANES = 16
+MAX_CYLINDERS = 4
+MAX_SEED_ITERATIONS = 24
+HIST_BINS = 20  # reference: Histogram<20>, histogram.hpp:20-133
+
+
+class CellGrid(NamedTuple):
+    """Per-cell plane-fit state, [C] leading axis (gh*gw cells row-major)."""
+    count: jnp.ndarray       # [C] valid point count
+    mean: jnp.ndarray        # [C, 3] centroid
+    m2: jnp.ndarray          # [C, 3, 3] centered second moment
+    normal: jnp.ndarray      # [C, 3]
+    d: jnp.ndarray           # [C]
+    mse: jnp.ndarray         # [C]
+    score: jnp.ndarray       # [C]
+    planar: jnp.ndarray      # [C] bool
+    distance_tol: jnp.ndarray  # [C]
+
+
+class DetectedPlanes(NamedTuple):
+    params: jnp.ndarray      # [MAX_PLANES, 4] camera-space hessian [n, d]
+    centroid: jnp.ndarray    # [MAX_PLANES, 3]
+    mse: jnp.ndarray         # [MAX_PLANES]
+    point_count: jnp.ndarray # [MAX_PLANES]
+    cloud_cov: jnp.ndarray   # [MAX_PLANES, 3, 3] inverse raw moment matrix
+    poly_verts: jnp.ndarray  # [MAX_PLANES, V, 2] plane-basis boundary polygon
+    poly_count: jnp.ndarray  # [MAX_PLANES]
+    basis_center: jnp.ndarray  # [MAX_PLANES, 3]
+    basis_u: jnp.ndarray     # [MAX_PLANES, 3]
+    basis_v: jnp.ndarray     # [MAX_PLANES, 3]
+    cell_mask: jnp.ndarray   # [MAX_PLANES, C]
+    valid: jnp.ndarray       # [MAX_PLANES] bool
+
+
+class DetectedCylinders(NamedTuple):
+    axis: jnp.ndarray        # [MAX_CYLINDERS, 3]
+    center: jnp.ndarray      # [MAX_CYLINDERS, 3] point on axis
+    radius: jnp.ndarray      # [MAX_CYLINDERS]
+    mse: jnp.ndarray         # [MAX_CYLINDERS]
+    valid: jnp.ndarray       # [MAX_CYLINDERS] bool
+
+
+# ---------------------------------------------------------------------------
+# per-cell fitting
+# ---------------------------------------------------------------------------
+
+def _cell_continuity(cell_z, patch: int):
+    """Vectorized depth-continuity cross test (reference:
+    is_cell_horizontal/vertical_continuous, plane_segment.cpp:62-100): scan the middle
+    row and column; a jump above 4x the depth quantization breaks the cell."""
+    mid = patch // 2
+
+    def line_continuous(line):
+        prev = line[:, :-1]
+        nxt = line[:, 1:]
+        both = (prev > 0) & (nxt > 0)
+        jump = jnp.abs(nxt - prev) > 4.0 * get_depth_quantization(jnp.maximum(nxt, 1.0))
+        return ~jnp.any(both & jump, axis=-1)
+
+    return line_continuous(cell_z[:, mid, :]) & line_continuous(cell_z[:, :, mid])
+
+
+def fit_plane_from_moments(cnt, mean, m2):
+    """Closed-form eigen plane fit from centered moments (reference:
+    Plane_Segment::fit_plane, plane_segment.cpp:232-284).  Batched.
+
+    Returns (normal, d, centroid, mse, score, ok)."""
+    safe = jnp.maximum(cnt, 1.0)
+    cov = 0.5 * (m2 + jnp.swapaxes(m2, -1, -2))
+
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    eigvals = jnp.abs(eigvals)  # ascending
+    normal = eigvecs[..., :, 0]
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+    d = -jnp.sum(normal * mean, axis=-1)
+    # orient normal toward the camera (d > 0), plane_segment.cpp:268-273
+    flip = d <= 0
+    normal = jnp.where(flip[..., None], -normal, normal)
+    d = jnp.where(flip, -d, d)
+
+    mse = eigvals[..., 0] / safe
+    score = eigvals[..., 1] / jnp.maximum(eigvals[..., 0], 1e-6)
+    ok = (cnt > 0) & jnp.all(jnp.isfinite(normal), axis=-1)
+    return normal, d, mean, mse, score, ok
+
+
+def fit_cells(cloud, valid, cfg: DetectionConfig = DetectionConfig()) -> CellGrid:
+    """Batched plane fit of every depth-patch cell (reference:
+    Plane_Segment::init_plane_segment, plane_segment.cpp:102-167)."""
+    patch = cfg.depth_patch_size_px
+    cells = organize_by_cells(cloud, patch)            # [C, P, 3]
+    vmask = organize_by_cells(valid[..., None].astype(cloud.dtype), patch)[..., 0]
+    c = cells.shape[0]
+    ppc = patch * patch
+
+    z_cells = cells[..., 2].reshape(c, patch, patch)
+    continuous = _cell_continuity(z_cells, patch)
+
+    cnt, mean, m2 = moments.from_points(cells, vmask)
+
+    min_points = int(ppc * cfg.min_zero_depth_proportion)
+    enough = (cnt >= min_points) & (cnt >= ppc // 2)
+
+    normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(cnt, mean, m2)
+
+    # planar iff MSE below squared depth quantization (plane_segment.cpp:164-167)
+    planar = continuous & enough & fit_ok \
+        & (mse <= get_depth_quantization(jnp.abs(centroid[..., 2])) ** 2)
+
+    # dynamic per-cell merge distance tolerance (primitive_detection.cpp:210-227)
+    sin_merge = math.sin(math.radians(cfg.max_plane_merge_angle_d))
+    diameter = jnp.linalg.norm(cells[:, -1, :] - cells[:, 0, :], axis=-1)
+    tol = jnp.minimum(cfg.max_plane_merge_distance_mm,
+                      diameter * sin_merge * jnp.sqrt(jnp.maximum(cnt, 1.0)))
+    tol = jnp.where(planar, tol, 0.0)
+
+    return CellGrid(count=cnt, mean=mean, m2=m2, normal=normal, d=d,
+                    mse=mse, score=score, planar=planar, distance_tol=tol)
+
+
+# ---------------------------------------------------------------------------
+# mergeability edges + label propagation
+# ---------------------------------------------------------------------------
+
+def _edge_maps(grid: CellGrid, gh: int, gw: int, cos_max: float):
+    """Directed mergeability edges: edge[dir][y, x] = True when the neighbor in that
+    direction may grow into cell (y, x) (reference merge test:
+    Plane_Segment::can_be_merged, plane_segment.cpp:322-326, applied along the
+    region-growing chain, primitive_detection.cpp:778-818)."""
+    n = grid.normal.reshape(gh, gw, 3)
+    d = grid.d.reshape(gh, gw)
+    cen = grid.mean.reshape(gh, gw, 3)
+    tol = grid.distance_tol.reshape(gh, gw)
+    planar = grid.planar.reshape(gh, gw)
+
+    edges = []
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        n_from = jnp.roll(n, (dy, dx), axis=(0, 1))
+        d_from = jnp.roll(d, (dy, dx), axis=(0, 1))
+        p_from = jnp.roll(planar, (dy, dx), axis=(0, 1))
+        cos_ab = jnp.sum(n_from * n, axis=-1)
+        dist = jnp.abs(jnp.sum(n_from * cen, axis=-1) + d_from)
+        e = (cos_ab > cos_max) & (dist < tol) & planar & p_from
+        if dx == 1:
+            e = e.at[:, 0].set(False)
+        if dx == -1:
+            e = e.at[:, -1].set(False)
+        if dy == 1:
+            e = e.at[0, :].set(False)
+        if dy == -1:
+            e = e.at[-1, :].set(False)
+        edges.append(e)
+    return jnp.stack(edges)  # [4, gh, gw]
+
+
+def _propagate_from_seed(seed_idx, edges, available, gh: int, gw: int):
+    """Masked label propagation to fixpoint: cells reachable from the seed through
+    directed mergeability edges, restricted to available cells."""
+    active0 = jnp.zeros((gh * gw,), bool).at[seed_idx].set(True).reshape(gh, gw)
+    avail = available.reshape(gh, gw)
+
+    def body(state):
+        active, _ = state
+        grow = (jnp.roll(active, (0, 1), (0, 1)) & edges[0]) \
+            | (jnp.roll(active, (0, -1), (0, 1)) & edges[1]) \
+            | (jnp.roll(active, (1, 0), (0, 1)) & edges[2]) \
+            | (jnp.roll(active, (-1, 0), (0, 1)) & edges[3])
+        new_active = active | (grow & avail)
+        return new_active, jnp.any(new_active != active)
+
+    active, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                   (active0, jnp.asarray(True)))
+    return active.reshape(-1)
+
+
+def _histogram_top_bin(grid: CellGrid, available):
+    """Most-frequent polar-angle bin of available planar-cell normals (reference:
+    Histogram<20> binning over (acos(-nz), atan2(nx, ny)),
+    primitive_detection.cpp:239-265).  Returns (candidate_mask, count)."""
+    nx, ny, nz = grid.normal[..., 0], grid.normal[..., 1], grid.normal[..., 2]
+    proj = jnp.arccos(jnp.clip(-nz, -1.0, 1.0))
+    ang = jnp.arctan2(nx, ny)
+    bx = jnp.clip((proj / jnp.pi * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1)
+    by = jnp.clip(((ang + jnp.pi) / (2 * jnp.pi) * HIST_BINS).astype(jnp.int32),
+                  0, HIST_BINS - 1)
+    bins = bx * HIST_BINS + by
+    counts = jax.ops.segment_sum(available.astype(jnp.int32), bins,
+                                 num_segments=HIST_BINS * HIST_BINS)
+    top = jnp.argmax(counts)
+    return available & (bins == top), counts[top]
+
+
+# ---------------------------------------------------------------------------
+# cylinder fitting (simplified batched variant of the sequential MSAC,
+# cylinder_segment.cpp:35-225 — full MSAC parity tracked for a later round)
+# ---------------------------------------------------------------------------
+
+def _fit_cylinder(grid: CellGrid, active):
+    """Axis from normal PCA (cylinder normals lie orthogonal to its axis,
+    cylinder_segment.cpp:47-105), center/radius from an algebraic circle fit of the
+    projected cell centroids.  Returns (axis, center, radius, mse)."""
+    w = (active & grid.planar).astype(grid.normal.dtype)
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    nn = jnp.einsum("c,ci,cj->ij", w, grid.normal, grid.normal)
+    eigvals, eigvecs = jnp.linalg.eigh(nn)
+    axis = eigvecs[:, 0]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+
+    u, v = poly.plane_basis(axis)
+    mean_c = jnp.sum(grid.mean * w[:, None], axis=0) / cnt
+    p2 = poly.project_to_plane(grid.mean, mean_c, u, v)
+
+    # Kasa circle fit
+    x, y = p2[:, 0], p2[:, 1]
+    a_mat = jnp.stack([2 * x * w, 2 * y * w, w], axis=-1)
+    b_vec = (x * x + y * y) * w
+    ata = a_mat.T @ a_mat + 1e-6 * jnp.eye(3, dtype=a_mat.dtype)
+    sol = jnp.linalg.solve(ata, a_mat.T @ b_vec)
+    cx, cy, t = sol[0], sol[1], sol[2]
+    r = jnp.sqrt(jnp.maximum(t + cx * cx + cy * cy, 1e-9))
+    dist = jnp.sqrt(jnp.maximum((x - cx) ** 2 + (y - cy) ** 2, 1e-12)) - r
+    mse = jnp.sum(w * dist * dist) / cnt
+    center3 = poly.unproject_from_plane(jnp.stack([cx, cy]), mean_c, u, v)
+    return axis, center3, r, mse
+
+
+# ---------------------------------------------------------------------------
+# main pipeline
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def find_primitives(depth_mm, cam: CameraIntrinsics,
+                    cfg: DetectionConfig = DetectionConfig()):
+    """Full CAPE extraction for one frame (reference:
+    Primitive_Detection::find_primitives, primitive_detection.cpp:119-166).
+
+    Returns (DetectedPlanes, DetectedCylinders)."""
+    patch = cfg.depth_patch_size_px
+    h, w = depth_mm.shape
+    gh, gw = h // patch, w // patch
+    n_cells = gh * gw
+    dt = depth_mm.dtype
+
+    cloud, valid = depth_to_cloud(depth_mm, cam)
+    grid = fit_cells(cloud, valid, cfg)
+    cos_max = math.cos(math.radians(cfg.max_plane_merge_angle_d))
+    edges = _edge_maps(grid, gh, gw, cos_max)
+
+    seed_threshold = max(1, int(cfg.min_plane_seed_proportion * n_cells))
+    min_activated = max(1, int(cfg.min_cell_activated_proportion * n_cells))
+
+    def seed_step(carry, _):
+        (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
+         c_axis, c_center, c_radius, c_mse, c_cellmask, c_num) = carry
+
+        cand, cand_count = _histogram_top_bin(grid, available)
+        proceed = cand_count >= seed_threshold
+
+        seed_idx = jnp.argmin(jnp.where(cand, grid.mse, jnp.inf))
+        active = _propagate_from_seed(seed_idx, edges, available, gh, gw)
+        active = active & grid.planar & available
+        activated = jnp.sum(active)
+
+        cnt, mean, m2 = moments.combine(grid.count, grid.mean, grid.m2, active)
+        normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(cnt, mean, m2)
+
+        grown_ok = proceed & (activated >= min_activated) & fit_ok
+
+        # plane-vs-cylinder model choice (primitive_detection.cpp:375-388, 437-476)
+        is_plane = grown_ok & (score > 100.0)
+        try_cyl = grown_ok & ~is_plane & (activated > 5)
+        cy_axis, cy_center, cy_r, cy_mse = _fit_cylinder(grid, active)
+        cyl_better = try_cyl & (cy_mse < mse) & (c_num < MAX_CYLINDERS)
+        plane_after_cyl = try_cyl & ~cyl_better
+        accept_plane = (is_plane | plane_after_cyl) & (p_num < MAX_PLANES)
+
+        slot = jnp.minimum(p_num, MAX_PLANES - 1)
+        p_cnt = jnp.where(accept_plane, p_cnt.at[slot].set(cnt), p_cnt)
+        p_mean = jnp.where(accept_plane, p_mean.at[slot].set(mean), p_mean)
+        p_m2 = jnp.where(accept_plane, p_m2.at[slot].set(m2), p_m2)
+        p_cellmask = jnp.where(accept_plane,
+                               p_cellmask.at[slot].set(active), p_cellmask)
+        p_num = p_num + accept_plane.astype(jnp.int32)
+
+        cslot = jnp.minimum(c_num, MAX_CYLINDERS - 1)
+        c_axis = jnp.where(cyl_better, c_axis.at[cslot].set(cy_axis), c_axis)
+        c_center = jnp.where(cyl_better, c_center.at[cslot].set(cy_center), c_center)
+        c_radius = jnp.where(cyl_better, c_radius.at[cslot].set(cy_r), c_radius)
+        c_mse = jnp.where(cyl_better, c_mse.at[cslot].set(cy_mse), c_mse)
+        c_cellmask = jnp.where(cyl_better, c_cellmask.at[cslot].set(active), c_cellmask)
+        c_num = c_num + cyl_better.astype(jnp.int32)
+
+        # consume cells: the grown region when accepted, else just the seed
+        # (histogram seed removal on failure, primitive_detection.cpp:363-368)
+        consumed = jnp.where(grown_ok, active,
+                             jnp.zeros_like(active).at[seed_idx].set(proceed))
+        available = available & ~consumed
+
+        return (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
+                c_axis, c_center, c_radius, c_mse, c_cellmask, c_num), None
+
+    init = (
+        grid.planar,
+        jnp.zeros((MAX_PLANES,), dt), jnp.zeros((MAX_PLANES, 3), dt),
+        jnp.zeros((MAX_PLANES, 3, 3), dt),
+        jnp.zeros((MAX_PLANES, n_cells), bool), jnp.asarray(0, jnp.int32),
+        jnp.zeros((MAX_CYLINDERS, 3), dt), jnp.zeros((MAX_CYLINDERS, 3), dt),
+        jnp.zeros((MAX_CYLINDERS,), dt), jnp.full((MAX_CYLINDERS,), jnp.inf, dt),
+        jnp.zeros((MAX_CYLINDERS, n_cells), bool), jnp.asarray(0, jnp.int32),
+    )
+    (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
+     c_axis, c_center, c_radius, c_mse, c_cellmask, c_num), _ = jax.lax.scan(
+        seed_step, init, None, length=MAX_SEED_ITERATIONS)
+
+    plane_valid = jnp.arange(MAX_PLANES) < p_num
+
+    p_cnt, p_mean, p_m2, p_cellmask, plane_valid = _merge_planes(
+        p_cnt, p_mean, p_m2, p_cellmask, plane_valid, gh, gw, cos_max,
+        cfg.max_plane_merge_distance_mm)
+
+    normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(
+        p_cnt, p_mean, p_m2)
+    plane_valid = plane_valid & fit_ok
+    params = jnp.concatenate([normal, d[..., None]], axis=-1)
+
+    # plane-parameter covariance source: inverse raw moment matrix
+    # (Plane_Segment::get_point_cloud_covariance, plane_segment.cpp:192-203),
+    # norm-scaled before inversion for f32 conditioning
+    raw = moments.raw_second_moment(p_cnt, p_mean, p_m2)
+    scale = jnp.maximum(jnp.linalg.norm(raw, axis=(-2, -1), keepdims=True), 1.0)
+    cloud_cov = jnp.linalg.inv(raw / scale + 1e-9 * jnp.eye(3, dtype=dt)) / scale
+
+    planes_out = _build_plane_boundaries(
+        params, centroid, mse, p_cnt, cloud_cov, p_cellmask, plane_valid,
+        cloud, valid, gh, gw, patch)
+
+    cylinders = DetectedCylinders(
+        axis=c_axis, center=c_center, radius=c_radius, mse=c_mse,
+        valid=jnp.arange(MAX_CYLINDERS) < c_num)
+    return planes_out, cylinders
+
+
+def _merge_planes(p_cnt, p_mean, p_m2, p_cellmask, plane_valid, gh, gw,
+                  cos_max, max_dist):
+    """Pairwise merge of adjacent grown planes (primitive_detection.cpp:503-560)."""
+    cell_maps = p_cellmask.reshape(MAX_PLANES, gh, gw)
+    right = jnp.roll(cell_maps, -1, axis=2).at[:, :, -1].set(False)
+    below = jnp.roll(cell_maps, -1, axis=1).at[:, -1, :].set(False)
+    adj = jnp.zeros((MAX_PLANES, MAX_PLANES), bool)
+    for shifted in (right, below):
+        overlap = jnp.einsum("ahw,bhw->ab", cell_maps.astype(jnp.float32),
+                             shifted.astype(jnp.float32)) > 0
+        adj = adj | overlap | overlap.T
+    adj = adj & ~jnp.eye(MAX_PLANES, dtype=bool)
+
+    def merge_pair(carry, idx):
+        p_cnt, p_mean, p_m2, p_cellmask, plane_valid = carry
+        i = idx // MAX_PLANES
+        j = idx % MAX_PLANES
+        do_check = (j > i) & adj[i, j] & plane_valid[i] & plane_valid[j]
+
+        ni, di, _, _, _, _ = fit_plane_from_moments(p_cnt[i], p_mean[i], p_m2[i])
+        cos_ij_n, _, cj, _, _, _ = fit_plane_from_moments(p_cnt[j], p_mean[j], p_m2[j])
+        cos_ij = jnp.sum(ni * cos_ij_n)
+        dist = jnp.abs(jnp.sum(ni * cj) + di)
+        mergeable = do_check & (cos_ij > cos_max) & (dist < max_dist)
+
+        new_cnt, new_mean, new_m2 = moments.combine_pair(
+            p_cnt[i], p_mean[i], p_m2[i], p_cnt[j], p_mean[j], p_m2[j])
+        p_cnt = p_cnt.at[i].set(jnp.where(mergeable, new_cnt, p_cnt[i]))
+        p_mean = p_mean.at[i].set(jnp.where(mergeable, new_mean, p_mean[i]))
+        p_m2 = p_m2.at[i].set(jnp.where(mergeable, new_m2, p_m2[i]))
+        p_cellmask = p_cellmask.at[i].set(
+            p_cellmask[i] | (p_cellmask[j] & mergeable))
+        plane_valid = plane_valid.at[j].set(plane_valid[j] & ~mergeable)
+        return (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), None
+
+    idxs = jnp.arange(MAX_PLANES * MAX_PLANES)
+    (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), _ = jax.lax.scan(
+        merge_pair, (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), idxs)
+    return p_cnt, p_mean, p_m2, p_cellmask, plane_valid
+
+
+def _build_plane_boundaries(params, centroid, mse, p_count, cloud_cov, p_cellmask,
+                            plane_valid, cloud, valid, gh, gw, patch):
+    """Boundary polygon per plane (primitive_detection.cpp:650-703): cross-erode /
+    square-dilate mask difference, cell-center camera points within 3 sqrt(MSE) of the
+    plane, star hull in the plane basis."""
+    cell_maps = p_cellmask.reshape(MAX_PLANES, gh, gw)
+
+    def erode_cross(m):
+        return m & jnp.roll(m, 1, 1).at[:, 0].set(False) \
+            & jnp.roll(m, -1, 1).at[:, -1].set(False) \
+            & jnp.roll(m, 1, 0).at[0, :].set(False) \
+            & jnp.roll(m, -1, 0).at[-1, :].set(False)
+
+    def dilate_square(m):
+        out = m
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = jnp.roll(m, (dy, dx), (0, 1))
+                if dy == 1:
+                    s = s.at[0, :].set(False)
+                if dy == -1:
+                    s = s.at[-1, :].set(False)
+                if dx == 1:
+                    s = s.at[:, 0].set(False)
+                if dx == -1:
+                    s = s.at[:, -1].set(False)
+                out = out | s
+        return out
+
+    cy = jnp.arange(gh) * patch + patch // 2
+    cx = jnp.arange(gw) * patch + patch // 2
+    centers = cloud[cy[:, None], cx[None, :]]      # [gh, gw, 3]
+    centers_valid = valid[cy[:, None], cx[None, :]]
+
+    def one_plane(cmap, plane4, pmse, pvalid):
+        boundary = dilate_square(cmap) & ~erode_cross(cmap)
+        dist = jnp.abs(jnp.sum(plane4[:3] * centers, axis=-1) + plane4[3])
+        in_plane = boundary & centers_valid \
+            & (dist < 3.0 * jnp.sqrt(jnp.maximum(pmse, 1e-6)) + 1.0)
+        pts = centers.reshape(-1, 3)
+        mask = in_plane.reshape(-1) & pvalid
+
+        center3 = plane4[:3] * (-plane4[3])
+        u, v = poly.plane_basis(plane4[:3])
+        pts2 = poly.project_to_plane(pts, center3, u, v)
+        verts, count = poly.convex_hull_by_angle(pts2, mask)
+        ok = pvalid & (count >= 3)  # >=3 vertices (primitive_detection.cpp:614-633)
+        return verts, count, center3, u, v, ok
+
+    verts, counts, centers3, us, vs, ok = jax.vmap(one_plane)(
+        cell_maps, params, mse, plane_valid)
+
+    return DetectedPlanes(
+        params=params, centroid=centroid, mse=mse, point_count=p_count,
+        cloud_cov=cloud_cov, poly_verts=verts, poly_count=counts,
+        basis_center=centers3, basis_u=us, basis_v=vs,
+        cell_mask=p_cellmask, valid=ok)
