@@ -1,0 +1,571 @@
+"""RGB-D SLAM engine: the per-frame tracking pipeline as one pure jittable step.
+
+TPU-first re-design of the reference orchestration (src/rgbd_slam.cpp:99-316 and
+src/map_management/local_map.hpp): instead of an object graph mutated by three async
+tasks, the whole frame is a pure function ``step(state, gray, depth) -> (state,
+output)`` over fixed-capacity masked arrays.  Feature extraction, matching, RANSAC
+pose optimization, Kalman map updates, lifecycle and insertion all execute on device
+in one compiled program.
+
+Row convention: the optimizer's MatchedFeatures blocks are allocated at MAP CAPACITY
+and row i corresponds to map slot i, so RANSAC inlier masks flow straight back into
+the per-slot lifecycle update (the reference's mark_outliers_as_unmatched,
+local_map.hpp:122 / feature_map.hpp:483).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import CameraIntrinsics, SlamConfig
+from .features import primitives
+from .features.primitives import MAX_PLANES
+from .geometry import covariances as cov_mod
+from .geometry import inverse_depth as idp
+from .geometry import pinhole, planes as planes_geo, se3
+from .mapping import maps
+from .ops import brief, fast, image, matching, optical_flow
+from .pose.features import MatchedFeatures
+from .pose.optimizer import compute_optimized_pose
+from .tracking import inverse_depth_tracking as idt
+from .tracking import kalman, motion_model
+from .utils import polygon as poly
+
+
+class SlamState(NamedTuple):
+    quat: jnp.ndarray
+    position: jnp.ndarray
+    pose_cov: jnp.ndarray          # [6, 6]
+    motion: motion_model.MotionModelState
+    points: maps.PointMap
+    points2d: maps.Point2DMap
+    planes: maps.PlaneMap
+    prev_gray: jnp.ndarray         # [H, W] previous frame
+    tracked_uv: jnp.ndarray        # [M3, 2] screen pos of map points last frame
+    tracked_ok: jnp.ndarray        # [M3]
+    frame_idx: jnp.ndarray
+    failed_count: jnp.ndarray
+    is_lost: jnp.ndarray
+    next_id: jnp.ndarray
+    key: jnp.ndarray
+
+
+class StepOutput(NamedTuple):
+    quat: jnp.ndarray
+    position: jnp.ndarray
+    pose_cov: jnp.ndarray
+    success: jnp.ndarray
+    is_lost: jnp.ndarray
+    n_point_matches: jnp.ndarray
+    n_point_inliers: jnp.ndarray
+    n_points_alive: jnp.ndarray
+    n_planes_alive: jnp.ndarray
+    n_detected: jnp.ndarray
+
+
+def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
+               quat=None, position=None, seed: int = 0) -> SlamState:
+    dt = jnp.float32
+    m3 = cfg.mapping.max_points_3d
+    return SlamState(
+        quat=se3.quat_identity(dt) if quat is None else jnp.asarray(quat, dt),
+        position=jnp.zeros(3, dt) if position is None else jnp.asarray(position, dt),
+        pose_cov=jnp.eye(6, dtype=dt) * 1e-3,
+        motion=motion_model.reset(dt),
+        points=maps.empty_point_map(m3),
+        points2d=maps.empty_point2d_map(cfg.mapping.max_points_2d),
+        planes=maps.empty_plane_map(cfg.mapping.max_planes),
+        prev_gray=jnp.zeros((cam.height, cam.width), dt),
+        tracked_uv=jnp.zeros((m3, 2), dt),
+        tracked_ok=jnp.zeros((m3,), bool),
+        frame_idx=jnp.asarray(0, jnp.int32),
+        failed_count=jnp.asarray(0, jnp.int32),
+        is_lost=jnp.asarray(False),
+        next_id=jnp.asarray(1, jnp.int32),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def _sample_depth(depth, uv):
+    """Nearest-pixel depth lookup (reference: Keypoint_Handler::set depth sampling,
+    keypoint_handler.cpp:17-26)."""
+    h, w = depth.shape
+    x = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, h - 1)
+    return depth[y, x]
+
+
+# ---------------------------------------------------------------------------
+# plane matching (hessian gate + polygon overlap, map_primitive.cpp:91-161)
+# ---------------------------------------------------------------------------
+
+def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
+                  c2w, cfg: SlamConfig):
+    """Returns (match_index [Mp] into detections or -1)."""
+    import math
+
+    pc2w = se3.plane_camera_to_world_matrix(c2w)
+    det_world = planes_geo.transform_plane(det.params, pc2w)
+
+    cos_gate = math.cos(math.radians(cfg.matching.max_plane_match_angle_d))
+    cosang = jnp.einsum("mi,di->md", plane_map.params[:, :3], det_world[:, :3])
+    d_diff = jnp.abs(plane_map.params[:, 3:4] - det_world[None, :, 3])
+    gate = (cosang > cos_gate) & (d_diff < cfg.matching.max_plane_match_distance_mm)
+    gate = gate & maps.alive(plane_map)[:, None] & det.valid[None, :]
+
+    # polygon overlap: project the detected polygon's world vertices into each map
+    # plane's basis and compute inter/area
+    r = c2w[:3, :3]
+    t = c2w[:3, 3]
+    det_center_w = det.basis_center @ r.T + t
+    det_u_w = det.basis_u @ r.T
+    det_v_w = det.basis_v @ r.T
+
+    def overlap(mi, di):
+        # detected polygon 3D vertices (camera basis -> world)
+        verts3 = (det_center_w[di][None, :]
+                  + det.poly_verts[di][:, 0:1] * det_u_w[di][None, :]
+                  + det.poly_verts[di][:, 1:2] * det_v_w[di][None, :])
+        verts2 = poly.project_to_plane(
+            verts3, plane_map.basis_center[mi], plane_map.basis_u[mi],
+            plane_map.basis_v[mi])
+        n_det = det.poly_verts.shape[1]
+        det_cnt = det.poly_count[di]
+        return poly.inter_over_area(
+            plane_map.poly_verts[mi], plane_map.poly_count[mi], verts2, det_cnt)
+
+    mp = plane_map.params.shape[0]
+    nd = det.params.shape[0]
+    ious = jax.vmap(lambda mi: jax.vmap(lambda di: overlap(mi, di))(jnp.arange(nd)))(
+        jnp.arange(mp))
+    ious = jnp.where(gate, ious, -1.0)
+    best = jnp.argmax(ious, axis=1)
+    best_iou = jnp.take_along_axis(ious, best[:, None], axis=1)[:, 0]
+    ok = best_iou >= cfg.matching.min_plane_overlap_for_match
+    return jnp.where(ok, best, -1).astype(jnp.int32), det_world
+
+
+# ---------------------------------------------------------------------------
+# the frame step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "cfg", "with_planes"))
+def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
+         cfg: SlamConfig, with_planes: bool = True):
+    """Process one RGB-D frame (reference: RGBD_SLAM::track, rgbd_slam.cpp:99-160 +
+    compute_new_pose, :163-257)."""
+    dt = gray.dtype
+    det_cfg = cfg.detection
+    m3 = cfg.mapping.max_points_3d
+    m2 = cfg.mapping.max_points_2d
+    mp = cfg.mapping.max_planes
+
+    key, k_drop, k_opt = jax.random.split(state.key, 3)
+
+    # --- predicted pose: motion model is disabled in the reference main loop
+    # (rgbd_slam.cpp:176-180) -> prediction = current pose
+    pred_quat, pred_pos = state.quat, state.position
+    w2c = se3.world_to_camera(pred_quat, pred_pos)
+    c2w = se3.camera_to_world(pred_quat, pred_pos)
+
+    # --- feature extraction ------------------------------------------------
+    levels = det_cfg.optical_flow_pyramid_depth
+    win_w = cam.width // det_cfg.optical_flow_window_width
+    win_h = cam.height // det_cfg.optical_flow_window_height
+    pyr_prev = image.build_pyramid(state.prev_gray, levels)
+    pyr_cur = image.build_pyramid(gray, levels)
+
+    # optical flow on last frame's tracked map points ("low cost association",
+    # keypoint_detection.cpp:262-361)
+    of_uv, of_ok = optical_flow.track_forward_backward(
+        pyr_prev, pyr_cur, state.tracked_uv, state.tracked_ok,
+        max_roundtrip_px=cfg.matching.match_search_radius_px,
+        levels=levels, win_h=win_h, win_w=win_w,
+        iterations=det_cfg.optical_flow_iterations)
+    of_ok = of_ok & state.tracked_ok & (state.frame_idx > 0)
+
+    # FAST + BRIEF detection, masked around optically-tracked points
+    # (keypoint_detection.cpp:111-156, 404-474)
+    det_mask = fast.tracked_points_mask(
+        (cam.height, cam.width), of_uv, of_ok, det_cfg.tracked_mask_radius_px)
+    det_xy, det_score, det_valid = fast.detect_fast_grid(
+        gray, detection_mask=det_mask,
+        threshold=float(det_cfg.fast_threshold),
+        low_threshold=float(det_cfg.fast_threshold_low),
+        max_points=det_cfg.max_point_per_frame,
+        cell_rows=det_cfg.keypoint_cell_detection_height_count,
+        cell_cols=det_cfg.keypoint_cell_detection_width_count)
+    det_desc, det_valid = brief.compute_brief(gray, det_xy, det_valid)
+    det_z = _sample_depth(depth, det_xy)
+    det_depth_ok = pinhole.is_depth_valid(det_z, cfg.engine.min_depth_mm,
+                                          cfg.engine.max_depth_mm) & det_valid
+
+    # --- data association --------------------------------------------------
+    pts = state.points
+    pts_alive = maps.alive(pts)
+
+    # 3D points: optical flow hit first, else windowed descriptor match
+    # (MapPoint::find_matches, map_point.cpp:71-114)
+    proj3, proj3_ok = pinhole.world_to_screen(pts.pos, w2c, cam)
+    need_desc_match = pts_alive & ~of_ok & proj3_ok
+    p_match_idx, p_match_dist = matching.match_descriptors(
+        pts.desc, proj3[:, :2], need_desc_match,
+        det_desc, det_xy, det_valid, jnp.zeros_like(det_valid),
+        search_radius=cfg.matching.match_search_radius_px,
+        lowe_ratio=cfg.matching.max_match_distance)
+    p_match_idx = matching.resolve_match_conflicts(
+        p_match_idx, p_match_dist, det_xy.shape[0])
+
+    n_det = det_xy.shape[0]
+    det_taken = jnp.zeros_like(det_valid)
+    det_taken = det_taken.at[
+        jnp.where(p_match_idx >= 0, p_match_idx, n_det)].set(True, mode="drop")
+
+    p_obs_uv = jnp.where(of_ok[:, None], of_uv,
+                         det_xy[jnp.clip(p_match_idx, 0, det_xy.shape[0] - 1)])
+    p_matched = of_ok | (p_match_idx >= 0)
+    p_obs_z = _sample_depth(depth, p_obs_uv)
+    p_obs_depth_ok = pinhole.is_depth_valid(
+        p_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
+
+    # 2D points: windowed descriptor match at the projected cartesian estimate
+    # (map_point2d.cpp:87-141; never fed to optical flow, :143-152)
+    p2 = state.points2d
+    p2_alive = maps.alive(p2)
+    p2_cart = idp.to_world(p2.state)
+    proj2, proj2_ok = pinhole.world_to_screen(p2_cart, w2c, cam)
+    q_match_idx, q_match_dist = matching.match_descriptors(
+        p2.desc, proj2[:, :2], p2_alive & proj2_ok,
+        det_desc, det_xy, det_valid, det_taken,
+        search_radius=cfg.matching.match_search_radius_px,
+        lowe_ratio=cfg.matching.max_match_distance)
+    q_match_idx = matching.resolve_match_conflicts(
+        q_match_idx, q_match_dist, det_xy.shape[0])
+    q_matched = q_match_idx >= 0
+    q_obs_uv = det_xy[jnp.clip(q_match_idx, 0, det_xy.shape[0] - 1)]
+    q_obs_z = _sample_depth(depth, q_obs_uv)
+    q_obs_depth_ok = pinhole.is_depth_valid(
+        q_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
+    det_taken = det_taken.at[
+        jnp.where(q_matched, q_match_idx, n_det)].set(True, mode="drop")
+
+    # planes
+    if with_planes:
+        det_planes, det_cyls = primitives.find_primitives(depth, cam, det_cfg)
+        k_match_idx, det_planes_world = _match_planes(
+            state.planes, det_planes, c2w, cfg)
+    else:
+        det_planes = None
+        k_match_idx = jnp.full((mp,), -1, jnp.int32)
+        det_planes_world = jnp.zeros((MAX_PLANES, 4), dt)
+    k_matched = k_match_idx >= 0
+
+    # --- pose optimization -------------------------------------------------
+    safe_k = jnp.clip(k_match_idx, 0, MAX_PLANES - 1)
+    plane_cam_obs = det_planes.params[safe_k] if with_planes \
+        else jnp.zeros((mp, 4), dt)
+    feats = MatchedFeatures(
+        point_obs_uv=p_obs_uv,
+        point_world=pts.pos,
+        point_world_std=jnp.sqrt(jnp.abs(jnp.diagonal(pts.cov, axis1=-2, axis2=-1))),
+        point_mask=p_matched & pts_alive,
+        point2d_obs_uv=q_obs_uv,
+        point2d_state=p2.state,
+        point2d_state_std=jnp.sqrt(jnp.abs(jnp.diagonal(p2.cov, axis1=-2, axis2=-1))),
+        point2d_mask=q_matched & p2_alive,
+        plane_cam=plane_cam_obs,
+        plane_world=state.planes.params,
+        plane_world_std=jnp.sqrt(jnp.abs(jnp.diagonal(state.planes.cov,
+                                                      axis1=-2, axis2=-1))),
+        plane_mask=k_matched & maps.alive(state.planes),
+    )
+    opt = compute_optimized_pose(k_opt, pred_quat, pred_pos, feats, cam,
+                                 ransac_cfg=cfg.ransac, engine_cfg=cfg.engine)
+
+    first_frame = state.frame_idx == 0
+    success = opt.success & ~first_frame
+
+    new_quat = jnp.where(success, opt.quat, pred_quat)
+    new_pos = jnp.where(success, opt.position, pred_pos)
+    new_pose_cov = jnp.where(success, opt.covariance, state.pose_cov)
+    new_c2w = se3.camera_to_world(new_quat, new_pos)
+    new_w2c = se3.world_to_camera(new_quat, new_pos)
+    pose_cov3 = new_pose_cov[:3, :3]
+
+    # --- map update --------------------------------------------------------
+    # final per-slot "matched" = matched AND RANSAC inlier (outliers are treated as
+    # unmatched, local_map.hpp:122)
+    p_final = jnp.where(success, p_matched & opt.point_inliers, p_matched & False)
+    q_final = jnp.where(success, q_matched & opt.point2d_inliers, q_matched & False)
+    k_final = jnp.where(success, k_matched & opt.plane_inliers, k_matched & False)
+
+    # 3D point Kalman updates (map_point.cpp:188-240): depth-valid observations fuse
+    # the world point; depth-less matches fuse along the ray with a large depth
+    # variance (stand-in for the reference's inverse-depth fusion of 2D obs)
+    obs_screen = jnp.stack([p_obs_uv[:, 0], p_obs_uv[:, 1],
+                            jnp.where(p_obs_depth_ok, p_obs_z,
+                                      jnp.linalg.norm(pts.pos - new_pos, axis=-1))],
+                           axis=-1)
+    obs_world = pinhole.screen_to_world(obs_screen, new_c2w, cam)
+    obs_cov = cov_mod.screen_point_to_world_covariance(
+        obs_screen, new_c2w, cam, pose_cov3)
+    ray_inflation = jnp.eye(3, dtype=dt)[None] * 1e6
+    obs_cov = jnp.where(p_obs_depth_ok[:, None, None], obs_cov,
+                        obs_cov + ray_inflation)
+    upd_pos, upd_cov, _, moving = kalman.track_points(
+        pts.pos, pts.cov, obs_world, obs_cov)
+    do_upd = (p_final & pts_alive)[:, None]
+    new_points = pts._replace(
+        pos=jnp.where(do_upd, upd_pos, pts.pos),
+        cov=jnp.where(do_upd[..., None], upd_cov, pts.cov),
+        desc=jnp.where(do_upd & ~of_ok[:, None] & (p_match_idx >= 0)[:, None],
+                       det_desc[jnp.clip(p_match_idx, 0, det_desc.shape[0] - 1)],
+                       pts.desc),
+        is_moving=jnp.where(do_upd[:, 0], moving, pts.is_moving),
+    )
+
+    # 2D point fusion (map_point2d.cpp:243-260)
+    q_obs_screen = jnp.stack([q_obs_uv[:, 0], q_obs_uv[:, 1], q_obs_z], axis=-1)
+    st3, cov3_, _ = idt.fuse_screen_observation_3d(
+        p2.state, p2.cov, q_obs_screen, new_c2w, pose_cov3, cam)
+    st2, cov2_, _ = idt.fuse_screen_observation_2d(
+        p2.state, p2.cov, q_obs_uv, new_c2w, pose_cov3, cam, det_cfg)
+    fused_state = jnp.where(q_obs_depth_ok[:, None], st3, st2)
+    fused_cov = jnp.where(q_obs_depth_ok[:, None, None], cov3_, cov2_)
+    do_q = (q_final & p2_alive)[:, None]
+    new_points2d = p2._replace(
+        state=jnp.where(do_q, fused_state, p2.state),
+        cov=jnp.where(do_q[..., None], fused_cov, p2.cov),
+        desc=jnp.where(do_q, det_desc[jnp.clip(q_match_idx, 0, det_desc.shape[0] - 1)],
+                       p2.desc),
+    )
+
+    # plane updates: world-frame 4x4 KF + polygon merge (map_primitive.cpp:204-251,
+    # plane_with_tracking.cpp:16-95)
+    pl = state.planes
+    if with_planes:
+        obs_world_planes = planes_geo.normalize_plane(det_planes_world[safe_k])
+        obs_plane_cov = cov_mod.world_plane_covariance(
+            det_planes.params[safe_k], obs_world_planes, new_c2w,
+            cov_mod.plane_covariance_from_point_cloud(
+                det_planes.params[safe_k], det_planes.cloud_cov[safe_k]),
+            pose_cov3)
+        upd_params, upd_pcov = kalman.track_planes(
+            pl.params, pl.cov, obs_world_planes, obs_plane_cov)
+        upd_params = planes_geo.normalize_plane(upd_params)
+        do_k = (k_final & maps.alive(pl))[:, None]
+
+        # polygon merge in the map plane's basis
+        r = new_c2w[:3, :3]
+        t = new_c2w[:3, 3]
+        det_center_w = det_planes.basis_center[safe_k] @ r.T + t
+        det_u_w = det_planes.basis_u[safe_k] @ r.T
+        det_v_w = det_planes.basis_v[safe_k] @ r.T
+
+        def merge_poly(mi):
+            verts3 = (det_center_w[mi][None, :]
+                      + det_planes.poly_verts[safe_k[mi]][:, 0:1] * det_u_w[mi][None, :]
+                      + det_planes.poly_verts[safe_k[mi]][:, 1:2] * det_v_w[mi][None, :])
+            verts2 = poly.project_to_plane(
+                verts3, pl.basis_center[mi], pl.basis_u[mi], pl.basis_v[mi])
+            return poly.merge_polygons(
+                pl.poly_verts[mi], pl.poly_count[mi],
+                verts2, det_planes.poly_count[safe_k[mi]])
+
+        mverts, mcounts = jax.vmap(merge_poly)(jnp.arange(mp))
+        new_planes = pl._replace(
+            params=jnp.where(do_k, upd_params, pl.params),
+            cov=jnp.where(do_k[..., None], upd_pcov, pl.cov),
+            poly_verts=jnp.where(do_k[..., None], mverts, pl.poly_verts),
+            poly_count=jnp.where(do_k[:, 0], mcounts, pl.poly_count),
+        )
+    else:
+        new_planes = pl
+
+    # --- lifecycle ---------------------------------------------------------
+    promote_pts = cfg.mapping.point_staged_age_confidence  # confidence>0.9 => 3 hits
+    p_loc, p_mc, p_miss, p_keep = maps.lifecycle_update(
+        new_points.is_local, new_points.match_count, new_points.miss_count,
+        p_final, promote_pts, cfg.mapping.point_unmatched_count_to_loose)
+    new_points = maps.remove_features(
+        new_points._replace(is_local=p_loc, match_count=p_mc, miss_count=p_miss),
+        p_keep | ~pts_alive)
+
+    q_loc, q_mc, q_miss, q_keep = maps.lifecycle_update(
+        new_points2d.is_local, new_points2d.match_count, new_points2d.miss_count,
+        q_final, promote_pts, cfg.mapping.point_unmatched_count_to_loose)
+    new_points2d = maps.remove_features(
+        new_points2d._replace(is_local=q_loc, match_count=q_mc, miss_count=q_miss),
+        q_keep | ~p2_alive)
+
+    k_loc, k_mc, k_miss, k_keep = maps.lifecycle_update(
+        new_planes.is_local, new_planes.match_count, new_planes.miss_count,
+        k_final, cfg.mapping.plane_staged_promote_hits,
+        cfg.mapping.plane_unmatched_count_to_loose)
+    # staged planes drop after 2 misses (map_primitive.cpp:286-288)
+    k_staged_drop = ~new_planes.is_local & (k_miss >= cfg.mapping.plane_staged_drop_misses)
+    new_planes = maps.remove_features(
+        new_planes._replace(is_local=k_loc, match_count=k_mc, miss_count=k_miss),
+        (k_keep & ~k_staged_drop) | ~maps.alive(pl))
+
+    # --- 2D -> 3D upgrade (map_point2d.cpp:220-241) ------------------------
+    lin_score = idt.linearity_score(new_points2d.state, new_points2d.cov,
+                                    jnp.broadcast_to(new_c2w, (m2, 4, 4)))
+    upgrade = maps.alive(new_points2d) & (lin_score < 0.1) & q_final
+    up_world = idp.to_world(new_points2d.state)
+    up_cov = idt.cartesian_covariance(new_points2d.state, new_points2d.cov)
+
+    # --- insertion of new features ----------------------------------------
+    # when tracking is fine: unmatched detections go to the staged maps; when lost,
+    # ALL detections re-seed the map (rgbd_slam.cpp:233-241, local_map.hpp:181-199)
+    newly_lost = state.failed_count + (~success).astype(jnp.int32) \
+        > cfg.engine.max_failed_tracking
+    insert_all = ((~success) & (newly_lost | state.is_lost)) | first_frame
+    # unmatched detections are staged only on successful frames (update vs
+    # update_no_pose, local_map.hpp:110-173); when lost, everything re-seeds
+    allow_insert = success | insert_all
+    det_free = det_valid & (~det_taken | insert_all) & allow_insert
+
+    # new 3D points from depth-valid detections
+    want3 = det_free & det_depth_ok
+    free3 = ~maps.alive(new_points)
+    # upgraded 2D points also claim 3D slots (after detections)
+    det_screen = jnp.stack([det_xy[:, 0], det_xy[:, 1], det_z], axis=-1)
+    new_world = pinhole.screen_to_world(det_screen, new_c2w, cam)
+    new_world_cov = cov_mod.screen_point_to_world_covariance(
+        det_screen, new_c2w, cam, pose_cov3)
+
+    cand_pos = jnp.concatenate([new_world, up_world], axis=0)
+    cand_cov = jnp.concatenate([new_world_cov, up_cov], axis=0)
+    cand_desc = jnp.concatenate([det_desc, new_points2d.desc], axis=0)
+    cand_want = jnp.concatenate([want3, upgrade], axis=0)
+    cand_local = jnp.concatenate([jnp.zeros_like(want3), upgrade], axis=0)
+    slots3 = maps.allocate_slots(free3, cand_want)
+    ok3 = slots3 >= 0
+    tgt3 = jnp.where(ok3, slots3, m3)
+    n_new3 = jnp.cumsum(ok3.astype(jnp.int32))
+    ids3 = state.next_id + n_new3 - 1
+    new_points = new_points._replace(
+        pos=new_points.pos.at[tgt3].set(cand_pos, mode="drop"),
+        cov=new_points.cov.at[tgt3].set(cand_cov, mode="drop"),
+        desc=new_points.desc.at[tgt3].set(cand_desc, mode="drop"),
+        fid=new_points.fid.at[tgt3].set(ids3, mode="drop"),
+        is_local=new_points.is_local.at[tgt3].set(cand_local, mode="drop"),
+        match_count=new_points.match_count.at[tgt3].set(1, mode="drop"),
+        miss_count=new_points.miss_count.at[tgt3].set(0, mode="drop"),
+        is_moving=new_points.is_moving.at[tgt3].set(False, mode="drop"),
+    )
+    next_id = state.next_id + jnp.sum(ok3.astype(jnp.int32))
+
+    # upgraded 2D points leave the 2D map (only those that got a 3D slot)
+    upgraded_ok = upgrade & ok3[det_xy.shape[0]:]
+    new_points2d = maps.remove_features(new_points2d, ~upgraded_ok)
+
+    # new 2D points from depth-less detections (map_point2d staged ctor)
+    want2 = det_free & ~det_depth_ok
+    free2 = ~maps.alive(new_points2d)
+    slots2 = maps.allocate_slots(free2, want2)
+    ok2 = slots2 >= 0
+    tgt2 = jnp.where(ok2, slots2, m2)
+    new_2d_state = idp.from_screen_observation(
+        det_xy, new_c2w, cam, baseline_rho=det_cfg.inverse_depth_baseline / 2.0)
+    new_2d_cov = idt.initial_covariance(
+        jnp.broadcast_to(pose_cov3, (det_xy.shape[0], 3, 3)), det_cfg)
+    n_new2 = jnp.cumsum(ok2.astype(jnp.int32))
+    ids2 = next_id + n_new2 - 1
+    new_points2d = new_points2d._replace(
+        state=new_points2d.state.at[tgt2].set(new_2d_state, mode="drop"),
+        cov=new_points2d.cov.at[tgt2].set(new_2d_cov, mode="drop"),
+        desc=new_points2d.desc.at[tgt2].set(det_desc, mode="drop"),
+        fid=new_points2d.fid.at[tgt2].set(ids2, mode="drop"),
+        is_local=new_points2d.is_local.at[tgt2].set(False, mode="drop"),
+        match_count=new_points2d.match_count.at[tgt2].set(1, mode="drop"),
+        miss_count=new_points2d.miss_count.at[tgt2].set(0, mode="drop"),
+    )
+    next_id = next_id + jnp.sum(ok2.astype(jnp.int32))
+
+    # new staged planes from unmatched detections
+    if with_planes:
+        det_plane_taken = jnp.zeros((MAX_PLANES,), bool)
+        det_plane_taken = det_plane_taken.at[
+            jnp.where(k_final, safe_k, MAX_PLANES)].set(True, mode="drop")
+        wantk = det_planes.valid & ~det_plane_taken
+        freek = ~maps.alive(new_planes)
+        slotsk = maps.allocate_slots(freek, wantk)
+        okk = slotsk >= 0
+        tgtk = jnp.where(okk, slotsk, mp)
+        pw = planes_geo.normalize_plane(
+            planes_geo.transform_plane(det_planes.params,
+                                       se3.plane_camera_to_world_matrix(new_c2w)))
+        pw_cov = cov_mod.world_plane_covariance(
+            det_planes.params, pw, new_c2w,
+            cov_mod.plane_covariance_from_point_cloud(
+                det_planes.params, det_planes.cloud_cov), pose_cov3)
+        r = new_c2w[:3, :3]
+        t = new_c2w[:3, 3]
+        n_newk = jnp.cumsum(okk.astype(jnp.int32))
+        idsk = next_id + n_newk - 1
+        new_planes = new_planes._replace(
+            params=new_planes.params.at[tgtk].set(pw, mode="drop"),
+            cov=new_planes.cov.at[tgtk].set(pw_cov, mode="drop"),
+            poly_verts=new_planes.poly_verts.at[tgtk].set(det_planes.poly_verts,
+                                                          mode="drop"),
+            poly_count=new_planes.poly_count.at[tgtk].set(det_planes.poly_count,
+                                                          mode="drop"),
+            basis_center=new_planes.basis_center.at[tgtk].set(
+                det_planes.basis_center @ r.T + t, mode="drop"),
+            basis_u=new_planes.basis_u.at[tgtk].set(det_planes.basis_u @ r.T,
+                                                    mode="drop"),
+            basis_v=new_planes.basis_v.at[tgtk].set(det_planes.basis_v @ r.T,
+                                                    mode="drop"),
+            fid=new_planes.fid.at[tgtk].set(idsk, mode="drop"),
+            is_local=new_planes.is_local.at[tgtk].set(False, mode="drop"),
+            match_count=new_planes.match_count.at[tgtk].set(1, mode="drop"),
+            miss_count=new_planes.miss_count.at[tgtk].set(0, mode="drop"),
+        )
+        next_id = next_id + jnp.sum(okk.astype(jnp.int32))
+
+    # --- next-frame tracking set (get_tracked_features, local_map.hpp:46-71) ----
+    proj_next, proj_next_ok = pinhole.world_to_screen(new_points.pos, new_w2c, cam)
+    in_screen = pinhole.is_in_screen_boundaries(proj_next, cam)
+    drop_chance = 2 * det_cfg.keypoint_refresh_frequency  # 1/10 drop, local_map.hpp:66
+    rand_keep = jax.random.randint(k_drop, (m3,), 0, drop_chance) != 0
+    tracked_ok_next = maps.alive(new_points) & proj_next_ok & in_screen & rand_keep
+
+    # --- tracking state ----------------------------------------------------
+    failed_count = jnp.where(success, 0,
+                             jnp.where(first_frame, 0, state.failed_count + 1))
+    is_lost = failed_count > cfg.engine.max_failed_tracking
+    motion_state, _, _, _ = motion_model.predict_next_pose(
+        state.motion, new_quat, new_pos)
+    motion_state = jax.tree.map(
+        lambda a, b: jnp.where(success, a, b),
+        motion_state, motion_model.reset(dt))
+
+    new_state = SlamState(
+        quat=new_quat, position=new_pos, pose_cov=new_pose_cov,
+        motion=motion_state,
+        points=new_points, points2d=new_points2d, planes=new_planes,
+        prev_gray=gray,
+        tracked_uv=jnp.where(tracked_ok_next[:, None], proj_next[:, :2], 0.0),
+        tracked_ok=tracked_ok_next,
+        frame_idx=state.frame_idx + 1,
+        failed_count=failed_count,
+        is_lost=is_lost,
+        next_id=next_id,
+        key=key,
+    )
+    output = StepOutput(
+        quat=new_quat, position=new_pos, pose_cov=new_pose_cov,
+        success=success | first_frame, is_lost=is_lost,
+        n_point_matches=jnp.sum(p_matched & pts_alive),
+        n_point_inliers=jnp.sum(p_final),
+        n_points_alive=jnp.sum(maps.alive(new_points)),
+        n_planes_alive=jnp.sum(maps.alive(new_planes)),
+        n_detected=jnp.sum(det_valid),
+    )
+    return new_state, output

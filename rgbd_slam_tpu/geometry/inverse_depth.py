@@ -36,8 +36,9 @@ def from_cartesian(point_world, origin_world):
     v = point_world - origin_world
     sph = basis.cartesian_to_spherical(v)
     rho = 1.0 / jnp.maximum(sph[..., 0], 1e-12)
+    origin_b = jnp.broadcast_to(origin_world, v.shape)
     return jnp.concatenate(
-        [origin_world, rho[..., None], sph[..., 1:2], sph[..., 2:3]], axis=-1
+        [origin_b, rho[..., None], sph[..., 1:2], sph[..., 2:3]], axis=-1
     )
 
 

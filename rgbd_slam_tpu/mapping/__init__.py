@@ -1,0 +1,1 @@
+from . import maps  # noqa: F401

@@ -164,20 +164,19 @@ def detect_fast_grid(img, detection_mask=None, threshold: float = 20.0,
 
 
 def tracked_points_mask(shape, tracked_xy, tracked_valid, radius: float = 15.0):
-    """Detection mask disabling a disk of ``radius`` px around each tracked point
-    (reference: compute_key_point_mask, keypoint_detection.cpp:111-156).  Returns a
+    """Detection mask disabling a square of half-size ``radius`` px around each
+    tracked point (reference: compute_key_point_mask, keypoint_detection.cpp:111-156
+    — the reference uses circles; the square approximation lets the dilation run as
+    two separable max-pools instead of a per-point scan over the image).  Returns a
     [H, W] bool mask, True where detection is allowed."""
     h, w = shape
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-
-    def body(carry, inp):
-        mask = carry
-        xy, ok = inp
-        d2 = (xs - xy[0]) ** 2 + (ys - xy[1]) ** 2
-        mask = mask & ~(ok & (d2 <= radius * radius))
-        return mask, None
-
-    mask0 = jnp.ones((h, w), dtype=bool)
-    mask, _ = jax.lax.scan(body, mask0, (tracked_xy, tracked_valid))
-    return mask
+    xi = jnp.clip(jnp.round(tracked_xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(tracked_xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    flat = jnp.zeros((h * w,), dtype=jnp.float32)
+    idx = jnp.where(tracked_valid, yi * w + xi, h * w)
+    flat = flat.at[idx].set(1.0, mode="drop")
+    seeds = flat.reshape(h, w)
+    k = 2 * int(radius) + 1
+    dil = jax.lax.reduce_window(seeds, -jnp.inf, jax.lax.max, (k, 1), (1, 1), "SAME")
+    dil = jax.lax.reduce_window(dil, -jnp.inf, jax.lax.max, (1, k), (1, 1), "SAME")
+    return dil < 0.5

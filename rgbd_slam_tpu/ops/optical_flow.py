@@ -6,8 +6,10 @@ Replaces cv::calcOpticalFlowPyrLK as used by the reference
 track whose round-trip distance gates the match.
 
 TPU design: ALL points advance in lockstep — `vmap` over points, a static loop over
-pyramid levels, `lax.fori_loop` over LK iterations; window gathers are batched
-bilinear samples.  No data-dependent trip counts.
+pyramid levels, `lax.fori_loop` over LK iterations.  Window reads are CONTIGUOUS
+``dynamic_slice`` patches with a 4-tap bilinear blend instead of per-pixel gathers:
+a vmapped dynamic_slice lowers to block gathers, ~2 orders of magnitude faster on TPU
+than the 53*53 random-gather formulation.
 """
 
 from __future__ import annotations
@@ -17,24 +19,40 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear_sample, build_pyramid, gradients, in_border
+from .image import build_pyramid, in_border
 
 
-def _window_offsets(win_h: int, win_w: int, dtype=jnp.float32):
-    ys = jnp.arange(win_h, dtype=dtype) - (win_h - 1) / 2.0
-    xs = jnp.arange(win_w, dtype=dtype) - (win_w - 1) / 2.0
-    oy, ox = jnp.meshgrid(ys, xs, indexing="ij")
-    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)  # [K, 2]
+def sample_window(img, top_left_xy, h: int, w: int):
+    """Bilinear [h, w] window of ``img`` whose top-left corner is at the float
+    position ``top_left_xy`` = (x, y).  One contiguous (h+1, w+1) dynamic_slice plus a
+    4-tap blend; the corner is clamped into the image (callers gate border points)."""
+    x0 = jnp.floor(top_left_xy[0])
+    y0 = jnp.floor(top_left_xy[1])
+    fx = (top_left_xy[0] - x0).astype(img.dtype)
+    fy = (top_left_xy[1] - y0).astype(img.dtype)
+    xi = jnp.clip(x0.astype(jnp.int32), 0, img.shape[1] - (w + 1))
+    yi = jnp.clip(y0.astype(jnp.int32), 0, img.shape[0] - (h + 1))
+    p = jax.lax.dynamic_slice(img, (yi, xi), (h + 1, w + 1))
+    return ((1 - fy) * ((1 - fx) * p[:h, :w] + fx * p[:h, 1:w + 1])
+            + fy * ((1 - fx) * p[1:h + 1, :w] + fx * p[1:h + 1, 1:w + 1]))
 
 
-def _lk_level(prev_img, next_img, prev_ix, prev_iy, pt_prev, guess,
-              offsets, iterations: int, eps: float):
-    """Iterative LK at one pyramid level for a single point.  pt_prev is the point in
-    the previous image at this level's scale; guess is the current flow estimate."""
-    win_pos = pt_prev[None, :] + offsets  # [K, 2]
-    t = bilinear_sample(prev_img, win_pos)
-    ix = bilinear_sample(prev_ix, win_pos)
-    iy = bilinear_sample(prev_iy, win_pos)
+def _lk_level(prev_img, next_img, pt_prev, guess, win_h: int, win_w: int,
+              iterations: int, eps: float):
+    """Iterative LK at one pyramid level for a single point."""
+    half = jnp.asarray([(win_w - 1) / 2.0, (win_h - 1) / 2.0], pt_prev.dtype)
+    # clamp the window origin ONCE so the template and the moving (tl+g) windows
+    # stay consistently aligned; sample_window's own clamp is only a backstop
+    lh, lw = prev_img.shape
+    tl = jnp.clip(pt_prev - half,
+                  jnp.asarray([2.0, 2.0], pt_prev.dtype),
+                  jnp.asarray([lw - win_w - 3.0, lh - win_h - 3.0], pt_prev.dtype))
+
+    # template + gradients from one (win+2)-halo patch of the previous image
+    tp = sample_window(prev_img, tl - 1.0, win_h + 2, win_w + 2)
+    t = tp[1:-1, 1:-1]
+    ix = 0.5 * (tp[1:-1, 2:] - tp[1:-1, :-2])
+    iy = 0.5 * (tp[2:, 1:-1] - tp[:-2, 1:-1])
 
     gxx = jnp.sum(ix * ix)
     gxy = jnp.sum(ix * iy)
@@ -45,7 +63,7 @@ def _lk_level(prev_img, next_img, prev_ix, prev_iy, pt_prev, guess,
 
     def body(_, carry):
         g, done = carry
-        j = bilinear_sample(next_img, win_pos + g[None, :])
+        j = sample_window(next_img, tl + g, win_h, win_w)
         diff = t - j
         bx = jnp.sum(ix * diff)
         by = jnp.sum(iy * diff)
@@ -69,21 +87,18 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
 
     ``prev_pyramid``/``next_pyramid`` are lists from :func:`build_pyramid` (length
     >= levels+1).  Returns (new_points [N, 2], status [N] bool)."""
-    offsets = _window_offsets(win_h, win_w, points.dtype)
-
-    grads = [gradients(p) for p in prev_pyramid]
 
     def track_one(pt, valid):
-        scale = 0.5 ** levels
         g = jnp.zeros(2, dtype=pt.dtype)
         ok_all = valid
         for lvl in range(levels, -1, -1):
-            prev_img = prev_pyramid[lvl]
-            next_img = next_pyramid[lvl]
-            ix, iy = grads[lvl]
             pt_l = pt * (0.5 ** lvl)
-            g, ok = _lk_level(prev_img, next_img, ix, iy, pt_l, g,
-                              offsets, iterations, eps)
+            # clamp the window to the level size (coarse levels can be tiny)
+            lh, lw = prev_pyramid[lvl].shape
+            wh = min(win_h, lh - 3)
+            ww = min(win_w, lw - 3)
+            g, ok = _lk_level(prev_pyramid[lvl], next_pyramid[lvl], pt_l, g,
+                              wh, ww, iterations, eps)
             ok_all = ok_all & ok
             if lvl > 0:
                 g = g * 2.0

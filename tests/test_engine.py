@@ -1,0 +1,169 @@
+"""End-to-end engine tests on a synthetic rendered RGB-D sequence.
+
+The reference evaluates end-to-end behavior manually on TUM sequences; here a textured
+wall is rendered analytically so ground-truth poses are exact and the full step
+(extract -> associate -> optimize -> map update) is validated frame by frame.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_slam_tpu import engine
+from rgbd_slam_tpu.config import CameraIntrinsics, SlamConfig, MappingConfig, EngineConfig
+from rgbd_slam_tpu.geometry import se3
+from rgbd_slam_tpu.mapping import maps
+
+CAM = CameraIntrinsics(width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0)
+CFG = SlamConfig(
+    mapping=MappingConfig(max_points_3d=256, max_points_2d=64, max_planes=8),
+    engine=EngineConfig(pose_covariance_mc_iterations=8, lm_iterations=10,
+                        ransac_hypothesis_batch=24),
+)
+
+WALL_X = 2500.0  # wall plane x = const in world space (world x is forward)
+
+
+def texture(y, z):
+    return (120.0 + 45.0 * np.sin(y / 55.0) + 40.0 * np.cos(z / 45.0)
+            + 30.0 * np.sin((y + z) / 35.0) + 20.0 * np.cos((y - 2 * z) / 75.0))
+
+
+def render(quat, position):
+    """Render gray+depth of the textured wall x=WALL_X from the given pose."""
+    c2w = np.asarray(se3.camera_to_world(jnp.asarray(quat), jnp.asarray(position)))
+    origin = c2w[:3, 3]
+    rot = c2w[:3, :3]
+    us, vs = np.meshgrid(np.arange(CAM.width), np.arange(CAM.height))
+    dir_cam = np.stack([(us - CAM.cx) / CAM.fx, (vs - CAM.cy) / CAM.fy,
+                        np.ones_like(us, dtype=np.float64)], axis=-1)
+    dir_world = dir_cam @ rot.T
+    t = (WALL_X - origin[0]) / dir_world[..., 0]
+    w = origin + t[..., None] * dir_world
+    gray = texture(w[..., 1], w[..., 2]).astype(np.float32)
+    depth = t.astype(np.float32)  # dir_cam z == 1 -> depth = t
+    return jnp.asarray(gray), jnp.asarray(depth)
+
+
+def run_sequence(n_frames, motion_fn, cfg=CFG, with_planes=True, seed=0):
+    state = engine.init_state(CAM, cfg, seed=seed)
+    outs = []
+    gt = []
+    for i in range(n_frames):
+        quat, pos = motion_fn(i)
+        gray, depth = render(quat, pos)
+        state, out = engine.step(state, gray, depth, CAM, cfg,
+                                 with_planes=with_planes)
+        outs.append(out)
+        gt.append((quat, pos))
+    return state, outs, gt
+
+
+class TestMapsPrimitives:
+    def test_allocate_slots(self):
+        free = jnp.array([False, True, False, True, True])
+        want = jnp.array([True, False, True, True, True])
+        slots = np.asarray(maps.allocate_slots(free, want))
+        # 4 wanted, 3 free: first three get slots 1, 3, 4; last dropped
+        assert slots.tolist() == [1, -1, 3, 4, -1]
+
+    def test_lifecycle_promotion(self):
+        is_local = jnp.array([False, False, True])
+        mc = jnp.array([2, 0, 5])
+        miss = jnp.array([0, 0, 9])
+        matched = jnp.array([True, False, False])
+        loc, mc2, miss2, keep = maps.lifecycle_update(is_local, mc, miss, matched,
+                                                      3, 10)
+        assert bool(loc[0])          # 3rd successive match -> promoted
+        assert not bool(keep[1])     # staged, count hits 0 -> dropped
+        assert bool(keep[2])         # local, 10 misses == threshold, not yet lost
+        _, _, miss3, keep3 = maps.lifecycle_update(loc, mc2, miss2,
+                                                   jnp.array([False] * 3), 3, 10)
+        assert not bool(keep3[2])    # 11th miss -> lost
+
+
+class TestEngineStatic:
+    def test_first_frame_seeds_map(self):
+        state, outs, _ = run_sequence(1, lambda i: (se3.quat_identity(),
+                                                    jnp.zeros(3)))
+        assert bool(outs[0].success)
+        assert int(outs[0].n_points_alive) > 20
+        # all new points are staged, none local
+        assert not bool(jnp.any(state.points.is_local & maps.alive(state.points)))
+
+    def test_static_camera_tracks(self):
+        state, outs, _ = run_sequence(
+            4, lambda i: (se3.quat_identity(), jnp.zeros(3)))
+        for out in outs[1:]:
+            assert bool(out.success)
+            assert float(jnp.linalg.norm(out.position)) < 10.0
+        # staged points get promoted to local after 3 successive matches
+        assert bool(jnp.any(state.points.is_local & maps.alive(state.points)))
+
+    def test_wall_plane_in_map(self):
+        state, outs, _ = run_sequence(
+            2, lambda i: (se3.quat_identity(), jnp.zeros(3)))
+        assert int(outs[-1].n_planes_alive) >= 1
+        pl = state.planes
+        a = np.asarray(maps.alive(pl))
+        params = np.asarray(pl.params)[a]
+        # wall at world x=2500: world normal ~ (+-1, 0, 0), |d| ~ 2500
+        assert np.abs(params[:, 0]).max() > 0.99
+        assert np.any(np.abs(np.abs(params[:, 3]) - WALL_X) < 20)
+
+
+class TestEngineMotion:
+    def test_lateral_translation_tracked(self):
+        speed = 4.0  # mm/frame along world y
+
+        def motion(i):
+            return se3.quat_identity(), jnp.asarray([0.0, speed * i, 0.0], jnp.float32)
+
+        state, outs, gt = run_sequence(6, motion)
+        for i, out in enumerate(outs):
+            if i == 0:
+                continue
+            assert bool(out.success), f"frame {i} failed"
+            err = float(jnp.linalg.norm(out.position - gt[i][1]))
+            assert err < 8.0, f"frame {i} position error {err:.1f}mm"
+
+    def test_forward_translation_tracked(self):
+        def motion(i):
+            return se3.quat_identity(), jnp.asarray([6.0 * i, 0.0, 0.0], jnp.float32)
+
+        state, outs, gt = run_sequence(5, motion)
+        errs = [float(jnp.linalg.norm(outs[i].position - gt[i][1]))
+                for i in range(1, 5)]
+        assert max(errs) < 10.0, f"errors {errs}"
+
+    def test_small_rotation_tracked(self):
+        def motion(i):
+            q = se3.quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]),
+                                         jnp.float32(0.004 * i))
+            return q, jnp.zeros(3, jnp.float32)
+
+        state, outs, gt = run_sequence(5, motion)
+        for i in range(1, 5):
+            assert bool(outs[i].success)
+            rerr = float(se3.rotation_error_deg(outs[i].quat, gt[i][0]))
+            assert rerr < 0.3, f"frame {i} rotation error {rerr:.2f}deg"
+
+
+class TestEngineRobustness:
+    def test_garbage_depth_does_not_crash(self, rng):
+        state = engine.init_state(CAM, CFG)
+        gray = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(-5, 10, (240, 320)), jnp.float32)
+        state, out = engine.step(state, gray, depth, CAM, CFG)
+        assert np.isfinite(np.asarray(out.position)).all()
+
+    def test_blank_frames_fail_gracefully(self):
+        state = engine.init_state(CAM, CFG)
+        gray = jnp.full((240, 320), 128.0)
+        depth = jnp.zeros((240, 320))
+        for _ in range(3):
+            state, out = engine.step(state, gray, depth, CAM, CFG)
+        # no features at all: tracking cannot succeed, pose must stay finite
+        assert np.isfinite(np.asarray(out.position)).all()
+        assert not bool(out.success) or int(state.frame_idx) == 1
