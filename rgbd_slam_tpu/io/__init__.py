@@ -1,0 +1,1 @@
+from . import datasets, map_writer, trajectory  # noqa: F401

@@ -1,0 +1,160 @@
+"""Streaming map export: .xyz, .pcd, .obj writers.
+
+Parity with reference src/outputs/map_writer.{hpp,cpp}: features are appended when
+they die or at shutdown; the OBJ writer is what the local map uses (out.obj,
+local_map.hpp:25).  Host-side (file IO), fed from the device map arrays.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class MapWriter:
+    """Interface parity: add_point / add_line / add_polygon
+    (map_writer.hpp:12-33)."""
+
+    def __init__(self, filename: str):
+        self._file = open(filename, "w")
+        self._write_header()
+
+    def _write_header(self):
+        pass
+
+    def add_point(self, point):
+        raise NotImplementedError
+
+    def add_line(self, points):
+        raise NotImplementedError
+
+    def add_polygon(self, points, normal):
+        raise NotImplementedError
+
+    def close(self):
+        if not self._file.closed:
+            self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class XYZWriter(MapWriter):
+    """Points only (XYZ_Map_Writer, map_writer.cpp)."""
+
+    def add_point(self, point):
+        p = np.asarray(point)
+        self._file.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+    def add_line(self, points):
+        for p in points:
+            self.add_point(p)
+
+    def add_polygon(self, points, normal):
+        for p in points:
+            self.add_point(p)
+
+
+class PCDWriter(MapWriter):
+    """Point Cloud Data format with a patched-up header on close
+    (PCD_Map_Writer)."""
+
+    def _write_header(self):
+        self._count = 0
+        self._points = []
+
+    def add_point(self, point):
+        p = np.asarray(point)
+        self._points.append(p)
+        self._count += 1
+
+    def add_line(self, points):
+        for p in points:
+            self.add_point(p)
+
+    def add_polygon(self, points, normal):
+        for p in points:
+            self.add_point(p)
+
+    def close(self):
+        if self._file.closed:
+            return
+        n = self._count
+        self._file.write(
+            "# .PCD v.7 - Point Cloud Data file format\nVERSION .7\n"
+            "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {n}\nDATA ascii\n")
+        for p in self._points:
+            self._file.write(f"{p[0]} {p[1]} {p[2]}\n")
+        self._file.close()
+
+
+class OBJWriter(MapWriter):
+    """Wavefront OBJ with points, polylines and polygons with normals
+    (OBJ_Map_Writer, map_writer.cpp — what Local_Map exports as out.obj)."""
+
+    def _write_header(self):
+        self._vertex_index = 1
+        self._normal_index = 1
+
+    def add_point(self, point):
+        p = np.asarray(point)
+        self._file.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        self._file.write(f"p {self._vertex_index}\n")
+        self._vertex_index += 1
+
+    def add_line(self, points):
+        start = self._vertex_index
+        for p in points:
+            self._file.write(f"v {p[0]} {p[1]} {p[2]}\n")
+            self._vertex_index += 1
+        idxs = " ".join(str(i) for i in range(start, self._vertex_index))
+        self._file.write(f"l {idxs}\n")
+
+    def add_polygon(self, points, normal):
+        n = np.asarray(normal)
+        self._file.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+        start = self._vertex_index
+        for p in points:
+            self._file.write(f"v {p[0]} {p[1]} {p[2]}\n")
+            self._vertex_index += 1
+        idxs = " ".join(f"{i}//{self._normal_index}"
+                        for i in range(start, self._vertex_index))
+        self._file.write(f"f {idxs}\n")
+        self._normal_index += 1
+
+
+def export_slam_map(state, path: str):
+    """Write the current map state (alive features) to an OBJ file, mirroring the
+    shutdown export (local_map.hpp:35-40)."""
+    from ..geometry import inverse_depth as idp
+    from ..mapping import maps as maps_mod
+
+    with OBJWriter(path) as w:
+        pts = state.points
+        alive = np.asarray(maps_mod.alive(pts))
+        for p in np.asarray(pts.pos)[alive]:
+            w.add_point(p)
+        p2 = state.points2d
+        alive2 = np.asarray(maps_mod.alive(p2))
+        if alive2.any():
+            cart = np.asarray(idp.to_world(p2.state))
+            for p in cart[alive2]:
+                w.add_point(p)
+        pl = state.planes
+        alivep = np.asarray(maps_mod.alive(pl))
+        for i in np.nonzero(alivep)[0]:
+            cnt = int(pl.poly_count[i])
+            if cnt < 3:
+                continue
+            verts2 = np.asarray(pl.poly_verts[i][:cnt])
+            center = np.asarray(pl.basis_center[i])
+            u = np.asarray(pl.basis_u[i])
+            v = np.asarray(pl.basis_v[i])
+            verts3 = center + verts2[:, 0:1] * u + verts2[:, 1:2] * v
+            w.add_polygon(verts3, np.asarray(pl.params[i][:3]))

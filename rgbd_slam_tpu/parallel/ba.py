@@ -1,0 +1,174 @@
+"""Distributed windowed bundle adjustment via Schur-complement landmark elimination.
+
+This is NEW capability relative to the reference (which has per-feature Kalman
+filters only — no BA, no keyframes; README.md:152-158 lists it as future work) and is
+the north-star distributed backend (SURVEY.md §2.10/§5): keyframes and landmark
+blocks partitioned across devices, landmark elimination embarrassingly parallel per
+block, the reduced camera system assembled with an all-reduce over ICI.
+
+Data layout (landmark-major so everything shards by landmark):
+* poses:      [K, 6]  pose optimization coefficients (position + stereographic quat)
+* landmarks:  [L, 3]  world points (mm)
+* obs_kf:     [L, C]  keyframe index of each observation (int32)
+* obs_uv:     [L, C, 2] pixel observations
+* obs_mask:   [L, C]  validity
+
+One Gauss-Newton iteration:
+  Hll (3x3 per landmark), W blocks (6x3 per observation), reduced system
+  S = Hpp - W Hll^-1 W^T assembled by segment-sum over keyframe pairs (a psum across
+  landmark shards), gauge fixed on keyframe 0, dense solve of the [6K, 6K] reduced
+  system, landmark back-substitution local to each shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CameraIntrinsics
+from ..geometry import pinhole, se3
+
+DAMPING = 1e-4
+
+
+def _project_residual(pose6, landmark, uv, cam: CameraIntrinsics):
+    """Reprojection residual [2] of one landmark in one keyframe."""
+    quat, pos = se3.coefficients_to_pose(pose6)
+    w2c = se3.world_to_camera(quat, pos)
+    proj, valid = pinhole.world_to_screen(landmark, w2c, cam)
+    r = uv - proj[:2]
+    return jnp.where(valid, r, 0.0)
+
+
+def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics):
+    """Per-observation residuals and Jacobian blocks, batched over [L, C]."""
+
+    def one(lm, kf_idx, uv, ok):
+        pose6 = poses[kf_idx]
+
+        def rf(p6, l3):
+            return _project_residual(p6, l3, uv, cam)
+
+        r = rf(pose6, lm)
+        jp = jax.jacfwd(rf, argnums=0)(pose6, lm)   # [2, 6]
+        jl = jax.jacfwd(rf, argnums=1)(pose6, lm)   # [2, 3]
+        m = ok.astype(r.dtype)
+        return r * m, jp * m, jl * m
+
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0))(landmarks, obs_kf, obs_uv, obs_mask)
+
+
+def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
+                  cam: CameraIntrinsics, n_keyframes: int, axis_name=None):
+    """One Schur-complement GN step.  When ``axis_name`` is set, landmark-axis
+    partial sums are psum-reduced across the mesh (the distributed path)."""
+    k = n_keyframes
+    dt = poses.dtype
+    r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam)
+    # r [L,C,2], jp [L,C,2,6], jl [L,C,2,3]
+
+    # landmark blocks (local to each shard)
+    hll = jnp.einsum("lcri,lcrj->lij", jl, jl) + DAMPING * jnp.eye(3, dtype=dt)
+    bl = jnp.einsum("lcri,lcr->li", jl, r)
+    hll_inv = jnp.linalg.inv(hll)
+
+    # per-observation pose blocks
+    w = jnp.einsum("lcri,lcrj->lcij", jp, jl)          # [L,C,6,3]
+    hpp_obs = jnp.einsum("lcri,lcrj->lcij", jp, jp)    # [L,C,6,6]
+    bp_obs = jnp.einsum("lcri,lcr->lci", jp, r)        # [L,C,6]
+
+    # Hpp and bp: segment-sum over keyframe index
+    flat_kf = obs_kf.reshape(-1)
+    hpp = jax.ops.segment_sum(hpp_obs.reshape(-1, 6, 6), flat_kf, num_segments=k)
+    bp = jax.ops.segment_sum(bp_obs.reshape(-1, 6), flat_kf, num_segments=k)
+
+    # Schur correction: for each landmark, pairs of its observations couple their
+    # keyframes: S[k1,k2] -= w_c1 Hll^-1 w_c2^T
+    y = jnp.einsum("lcij,ljk->lcik", w, hll_inv)        # [L,C,6,3]
+    corr = jnp.einsum("lcik,ldjk->lcdij", y, w)         # [L,C,C,6,6]
+    pair_k = (obs_kf[:, :, None] * k + obs_kf[:, None, :]).reshape(-1)
+    s_corr = jax.ops.segment_sum(corr.reshape(-1, 6, 6), pair_k,
+                                 num_segments=k * k)
+    bp_corr = jax.ops.segment_sum(
+        jnp.einsum("lcik,lk->lci", y, bl).reshape(-1, 6),
+        flat_kf, num_segments=k)
+
+    if axis_name is not None:
+        hpp = jax.lax.psum(hpp, axis_name)
+        bp = jax.lax.psum(bp, axis_name)
+        s_corr = jax.lax.psum(s_corr, axis_name)
+        bp_corr = jax.lax.psum(bp_corr, axis_name)
+
+    big_hpp = jnp.zeros((k, 6, k, 6), dt)
+    big_hpp = big_hpp.at[jnp.arange(k), :, jnp.arange(k), :].set(hpp)
+    s_mat = big_hpp.reshape(k * 6, k * 6) \
+        - s_corr.reshape(k, k, 6, 6).transpose(0, 2, 1, 3).reshape(k * 6, k * 6)
+    rhs = (bp - bp_corr).reshape(k * 6)
+
+    # gauge fix: freeze keyframe 0 (replace its block rows/cols with identity)
+    fix = jnp.arange(k * 6) < 6
+    s_mat = jnp.where(fix[:, None] | fix[None, :],
+                      jnp.eye(k * 6, dtype=dt), s_mat)
+    rhs = jnp.where(fix, 0.0, rhs)
+    s_mat = s_mat + DAMPING * jnp.eye(k * 6, dtype=dt)
+
+    delta_p = jnp.linalg.solve(s_mat, -rhs).reshape(k, 6)
+
+    # landmark back-substitution (local per shard): dl = -Hll^-1 (bl + W^T dp)
+    dp_per_obs = jnp.take(delta_p, obs_kf, axis=0)      # [L, C, 6]
+    wt_dp = jnp.einsum("lcij,lci->lj", w, dp_per_obs)   # [L, 3]
+    delta_l = -jnp.einsum("lij,lj->li", hll_inv, bl + wt_dp)
+
+    new_poses = poses + delta_p
+    new_landmarks = landmarks + delta_l
+    cost = jnp.sum(r * r)
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return new_poses, new_landmarks, cost
+
+
+def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
+             iterations: int = 8):
+    """Single-device windowed BA (the correctness anchor, SURVEY.md §7 risk list)."""
+    k = poses.shape[0]
+
+    def body(carry, _):
+        p, l = carry
+        p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam, k)
+        return (p2, l2), cost
+
+    (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
+                                 length=iterations)
+    return p, l, costs
+
+
+def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
+                    iterations: int = 8, axis: str = "lm"):
+    """Build the distributed BA step: landmarks + observations sharded over the
+    ``axis`` mesh dimension, reduced camera system psum-reduced over ICI.
+
+    Returns a jitted fn(poses, landmarks, obs_kf, obs_uv, obs_mask)
+    -> (poses, landmarks, costs)."""
+    shard_map = jax.shard_map
+
+    def stepfn(poses, landmarks, obs_kf, obs_uv, obs_mask):
+        def body(carry, _):
+            p, l = carry
+            p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam,
+                                         n_keyframes, axis_name=axis)
+            return (p2, l2), cost
+
+        (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
+                                     length=iterations)
+        return p, l, costs
+
+    sharded = shard_map(
+        stepfn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(axis), P()),
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,122 @@
+"""Windowed Schur-complement BA tests: convergence on synthetic windows and
+single-device vs. sharded-mesh equivalence (the SURVEY.md §7 correctness anchor)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from rgbd_slam_tpu.config import CameraIntrinsics
+from rgbd_slam_tpu.geometry import pinhole, se3
+from rgbd_slam_tpu.parallel import ba
+
+CAM = CameraIntrinsics(width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=240.0)
+K, L, C = 6, 128, 4
+
+
+def make_window(rng, noise_px=0.0):
+    """Synthetic keyframe window: camera sliding laterally, landmarks on a slab."""
+    gt_poses = []
+    for i in range(K):
+        quat = se3.quat_from_axis_angle(jnp.array([0.0, 0.0, 1.0]),
+                                        jnp.float32(0.01 * i))
+        pos = jnp.asarray([20.0 * i, 30.0 * i, 5.0 * i], jnp.float32)
+        gt_poses.append(se3.pose_to_coefficients(quat, pos))
+    gt_poses = jnp.stack(gt_poses)
+
+    landmarks = jnp.asarray(np.concatenate([
+        rng.uniform(2000, 4000, (L, 1)),
+        rng.uniform(-1500, 1500, (L, 2))], axis=1), jnp.float32)
+
+    # each landmark observed in C random keyframes
+    obs_kf = jnp.asarray(rng.integers(0, K, (L, C)), jnp.int32)
+
+    def project(pose6, lm):
+        quat, pos = se3.coefficients_to_pose(pose6)
+        w2c = se3.world_to_camera(quat, pos)
+        s, v = pinhole.world_to_screen(lm, w2c, CAM)
+        return s[:2], v
+
+    uv = np.zeros((L, C, 2), np.float32)
+    mask = np.zeros((L, C), bool)
+    for l in range(L):
+        for c in range(C):
+            s, v = project(gt_poses[int(obs_kf[l, c])], landmarks[l])
+            uv[l, c] = np.asarray(s)
+            mask[l, c] = bool(v)
+    uv += rng.normal(0, noise_px, uv.shape).astype(np.float32)
+    return gt_poses, landmarks, obs_kf, jnp.asarray(uv), jnp.asarray(mask)
+
+
+def perturb(rng, gt_poses, landmarks, pose_mm=30.0, lm_mm=40.0):
+    """Perturb all poses except keyframe 0 (the gauge anchor) and all landmarks."""
+    dp = rng.normal(0, 1, gt_poses.shape).astype(np.float32)
+    dp[:, :3] *= pose_mm
+    dp[:, 3:] *= 0.01
+    dp[0] = 0.0
+    dl = rng.normal(0, lm_mm, landmarks.shape).astype(np.float32)
+    return gt_poses + jnp.asarray(dp), landmarks + jnp.asarray(dl)
+
+
+class TestSingleDeviceBA:
+    def test_converges_to_ground_truth(self, rng):
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+        poses, lms, costs = ba.ba_solve(poses0, lm0, obs_kf, uv, mask, CAM,
+                                        iterations=12)
+        # cost monotonically (mostly) decreasing and tiny at the end
+        assert float(costs[-1]) < float(costs[0]) * 1e-3
+        pos_err = np.abs(np.asarray(poses[:, :3] - gt_poses[:, :3]))
+        assert pos_err.max() < 5.0, f"pose error {pos_err.max():.1f}mm"
+
+    def test_noisy_observations_still_converge(self, rng):
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng, noise_px=0.3)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+        poses, lms, costs = ba.ba_solve(poses0, lm0, obs_kf, uv, mask, CAM,
+                                        iterations=12)
+        pos_err = np.abs(np.asarray(poses[:, :3] - gt_poses[:, :3]))
+        assert pos_err.max() < 20.0
+
+    def test_gauge_fixed(self, rng):
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+        poses, _, _ = ba.ba_solve(poses0, lm0, obs_kf, uv, mask, CAM,
+                                  iterations=4)
+        np.testing.assert_allclose(np.asarray(poses[0]), np.asarray(poses0[0]),
+                                   atol=1e-5)
+
+
+class TestShardedBA:
+    def test_matches_single_device(self, rng):
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+
+        ref_poses, ref_lm, ref_costs = ba.ba_solve(
+            poses0, lm0, obs_kf, uv, mask, CAM, iterations=6)
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("lm",))
+        fn = ba.make_sharded_ba(mesh, CAM, n_keyframes=K, iterations=6)
+        sh_poses, sh_lm, sh_costs = fn(poses0, lm0, obs_kf, uv, mask)
+
+        np.testing.assert_allclose(np.asarray(sh_costs), np.asarray(ref_costs),
+                                   rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(sh_poses), np.asarray(ref_poses),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(sh_lm), np.asarray(ref_lm),
+                                   atol=1.0)
+
+    def test_ba_iters_per_second_positive(self, rng):
+        import time
+
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("lm",))
+        fn = ba.make_sharded_ba(mesh, CAM, n_keyframes=K, iterations=6)
+        out = jax.block_until_ready(fn(poses0, lm0, obs_kf, uv, mask))
+        t0 = time.time()
+        out = jax.block_until_ready(fn(poses0, lm0, obs_kf, uv, mask))
+        iters_per_s = 6 / (time.time() - t0)
+        assert iters_per_s > 0
