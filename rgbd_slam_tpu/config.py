@@ -141,6 +141,9 @@ class MappingConfig:
     max_points_3d: int = 512
     max_points_2d: int = 256
     max_planes: int = 32
+    # LK-tracked subset cap: optical flow cost is linear in tracked points; the
+    # reference caps detections at 100/frame and tracks visible map points
+    max_tracked_points: int = 128
 
 
 @dataclass(frozen=True)
@@ -152,6 +155,8 @@ class EngineConfig:
     max_depth_mm: float = 6000.0      # src/coordinates/point_coordinates.cpp:17
     pose_covariance_mc_iterations: int = 100  # pose_optimization.cpp:361-437
     lm_iterations: int = 16           # fixed-iteration batched LM (replaces Eigen LM)
+    mc_lm_iterations: int = 6         # LM iterations per MC covariance sample (the
+                                      # perturbed solves start at the optimum)
     ransac_hypothesis_batch: int = 64 # batched hypotheses replace tbb loop
 
 

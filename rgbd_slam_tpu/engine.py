@@ -45,8 +45,9 @@ class SlamState(NamedTuple):
     points2d: maps.Point2DMap
     planes: maps.PlaneMap
     prev_gray: jnp.ndarray         # [H, W] previous frame
-    tracked_uv: jnp.ndarray        # [M3, 2] screen pos of map points last frame
-    tracked_ok: jnp.ndarray        # [M3]
+    tracked_uv: jnp.ndarray        # [T, 2] screen pos of tracked map points
+    tracked_ok: jnp.ndarray        # [T]
+    tracked_map_idx: jnp.ndarray   # [T] int32 map slot of each tracked row
     frame_idx: jnp.ndarray
     failed_count: jnp.ndarray
     is_lost: jnp.ndarray
@@ -80,8 +81,9 @@ def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
         points2d=maps.empty_point2d_map(cfg.mapping.max_points_2d),
         planes=maps.empty_plane_map(cfg.mapping.max_planes),
         prev_gray=jnp.zeros((cam.height, cam.width), dt),
-        tracked_uv=jnp.zeros((m3, 2), dt),
-        tracked_ok=jnp.zeros((m3,), bool),
+        tracked_uv=jnp.zeros((cfg.mapping.max_tracked_points, 2), dt),
+        tracked_ok=jnp.zeros((cfg.mapping.max_tracked_points,), bool),
+        tracked_map_idx=jnp.full((cfg.mapping.max_tracked_points,), -1, jnp.int32),
         frame_idx=jnp.asarray(0, jnp.int32),
         failed_count=jnp.asarray(0, jnp.int32),
         is_lost=jnp.asarray(False),
@@ -117,31 +119,47 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
     gate = (cosang > cos_gate) & (d_diff < cfg.matching.max_plane_match_distance_mm)
     gate = gate & maps.alive(plane_map)[:, None] & det.valid[None, :]
 
-    # polygon overlap: project the detected polygon's world vertices into each map
-    # plane's basis and compute inter/area
+    # polygon overlap gate: the reference computes exact polygon inter/area
+    # (map_primitive.cpp:91-161).  Exact Sutherland-Hodgman clipping for all
+    # map x detection pairs is sequential-op-heavy on TPU, so the GATE uses the
+    # bounding-box overlap of both polygons in the map plane's basis — a tight
+    # surrogate for the mostly-convex CAPE footprints; exact polygon ops are
+    # still used for the merge/area bookkeeping.
     r = c2w[:3, :3]
     t = c2w[:3, 3]
     det_center_w = det.basis_center @ r.T + t
     det_u_w = det.basis_u @ r.T
     det_v_w = det.basis_v @ r.T
 
-    def overlap(mi, di):
-        # detected polygon 3D vertices (camera basis -> world)
-        verts3 = (det_center_w[di][None, :]
-                  + det.poly_verts[di][:, 0:1] * det_u_w[di][None, :]
-                  + det.poly_verts[di][:, 1:2] * det_v_w[di][None, :])
+    mp = plane_map.params.shape[0]
+    nd = det.params.shape[0]
+
+    def overlap_row(mi):
+        # all detected polygons' vertices in map plane mi's basis: [nd, V, 2]
+        verts3 = (det_center_w[:, None, :]
+                  + det.poly_verts[..., 0:1] * det_u_w[:, None, :]
+                  + det.poly_verts[..., 1:2] * det_v_w[:, None, :])
         verts2 = poly.project_to_plane(
             verts3, plane_map.basis_center[mi], plane_map.basis_u[mi],
             plane_map.basis_v[mi])
-        n_det = det.poly_verts.shape[1]
-        det_cnt = det.poly_count[di]
-        return poly.inter_over_area(
-            plane_map.poly_verts[mi], plane_map.poly_count[mi], verts2, det_cnt)
+        vmask = jnp.arange(det.poly_verts.shape[1])[None, :] < det.poly_count[:, None]
+        big = 1e12
+        det_min = jnp.min(jnp.where(vmask[..., None], verts2, big), axis=1)
+        det_max = jnp.max(jnp.where(vmask[..., None], verts2, -big), axis=1)
 
-    mp = plane_map.params.shape[0]
-    nd = det.params.shape[0]
-    ious = jax.vmap(lambda mi: jax.vmap(lambda di: overlap(mi, di))(jnp.arange(nd)))(
-        jnp.arange(mp))
+        mverts = plane_map.poly_verts[mi]
+        mmask = jnp.arange(mverts.shape[0]) < plane_map.poly_count[mi]
+        m_min = jnp.min(jnp.where(mmask[:, None], mverts, big), axis=0)
+        m_max = jnp.max(jnp.where(mmask[:, None], mverts, -big), axis=0)
+
+        inter = jnp.prod(jnp.maximum(
+            jnp.minimum(det_max, m_max) - jnp.maximum(det_min, m_min), 0.0), axis=-1)
+        area_d = jnp.prod(jnp.maximum(det_max - det_min, 0.0), axis=-1)
+        area_m = jnp.prod(jnp.maximum(m_max - m_min, 1e-9))
+        denom = jnp.maximum(jnp.minimum(area_d, area_m), 1e-9)
+        return inter / denom
+
+    ious = jax.vmap(overlap_row)(jnp.arange(mp))
     ious = jnp.where(gate, ious, -1.0)
     best = jnp.argmax(ious, axis=1)
     best_iou = jnp.take_along_axis(ious, best[:, None], axis=1)[:, 0]
@@ -181,17 +199,22 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
 
     # optical flow on last frame's tracked map points ("low cost association",
     # keypoint_detection.cpp:262-361)
-    of_uv, of_ok = optical_flow.track_forward_backward(
+    of_uv_t, of_ok_t = optical_flow.track_forward_backward(
         pyr_prev, pyr_cur, state.tracked_uv, state.tracked_ok,
         max_roundtrip_px=cfg.matching.match_search_radius_px,
         levels=levels, win_h=win_h, win_w=win_w,
         iterations=det_cfg.optical_flow_iterations)
-    of_ok = of_ok & state.tracked_ok & (state.frame_idx > 0)
+    of_ok_t = of_ok_t & state.tracked_ok & (state.frame_idx > 0)
+    # scatter tracked-row results back to map slots
+    t_idx = jnp.where(of_ok_t & (state.tracked_map_idx >= 0),
+                      state.tracked_map_idx, m3)
+    of_uv = jnp.zeros((m3, 2), dt).at[t_idx].set(of_uv_t, mode="drop")
+    of_ok = jnp.zeros((m3,), bool).at[t_idx].set(True, mode="drop")
 
     # FAST + BRIEF detection, masked around optically-tracked points
     # (keypoint_detection.cpp:111-156, 404-474)
     det_mask = fast.tracked_points_mask(
-        (cam.height, cam.width), of_uv, of_ok, det_cfg.tracked_mask_radius_px)
+        (cam.height, cam.width), of_uv_t, of_ok_t, det_cfg.tracked_mask_radius_px)
     det_xy, det_score, det_valid = fast.detect_fast_grid(
         gray, detection_mask=det_mask,
         threshold=float(det_cfg.fast_threshold),
@@ -534,7 +557,17 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     in_screen = pinhole.is_in_screen_boundaries(proj_next, cam)
     drop_chance = 2 * det_cfg.keypoint_refresh_frequency  # 1/10 drop, local_map.hpp:66
     rand_keep = jax.random.randint(k_drop, (m3,), 0, drop_chance) != 0
-    tracked_ok_next = maps.alive(new_points) & proj_next_ok & in_screen & rand_keep
+    track_cand = maps.alive(new_points) & proj_next_ok & in_screen & rand_keep
+    # compact to the first T candidates (optical flow cost is linear in T)
+    t_cap = cfg.mapping.max_tracked_points
+    cand_rank = jnp.cumsum(track_cand.astype(jnp.int32)) - 1
+    sel = track_cand & (cand_rank < t_cap)
+    dest = jnp.where(sel, cand_rank, t_cap)
+    tracked_uv_next = jnp.zeros((t_cap, 2), dt).at[dest].set(
+        proj_next[:, :2], mode="drop")
+    tracked_idx_next = jnp.full((t_cap,), -1, jnp.int32).at[dest].set(
+        jnp.arange(m3, dtype=jnp.int32), mode="drop")
+    tracked_ok_next = jnp.arange(t_cap) < jnp.sum(sel)
 
     # --- tracking state ----------------------------------------------------
     failed_count = jnp.where(success, 0,
@@ -551,8 +584,9 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         motion=motion_state,
         points=new_points, points2d=new_points2d, planes=new_planes,
         prev_gray=gray,
-        tracked_uv=jnp.where(tracked_ok_next[:, None], proj_next[:, :2], 0.0),
+        tracked_uv=tracked_uv_next,
         tracked_ok=tracked_ok_next,
+        tracked_map_idx=tracked_idx_next,
         frame_idx=state.frame_idx + 1,
         failed_count=failed_count,
         is_lost=is_lost,

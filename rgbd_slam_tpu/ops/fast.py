@@ -121,43 +121,43 @@ def detect_fast_grid(img, detection_mask=None, threshold: float = 20.0,
     nms_lo = nms(is_corner_low, score_low)
 
     h, w = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    cell = (ys * cell_rows // h) * cell_cols + (xs * cell_cols // w)
-
     n_cells = cell_rows * cell_cols
     per_cell = -(-max_points // n_cells)  # ceil budget per cell
 
+    # pad to uniform cells and reshape to [n_cells, cell_pixels] — per-cell top-K
+    # then runs as one approx_max_k (TPU-native) instead of a full-image sort
+    ph = -(-h // cell_rows) * cell_rows
+    pw = -(-w // cell_cols) * cell_cols
+    ch, cw = ph // cell_rows, pw // cell_cols
+
+    def cells_of(x):
+        xp = jnp.pad(x, ((0, ph - h), (0, pw - w)))
+        return xp.reshape(cell_rows, ch, cell_cols, cw).transpose(0, 2, 1, 3) \
+            .reshape(n_cells, ch * cw)
+
+    hi_cells = cells_of(nms_hi)
+    lo_cells = cells_of(nms_lo)
+
     # two-tier: use the sensitive tier only in cells where the high tier found
     # fewer than the cell budget (keypoint_detection.cpp:435-452)
-    hi_counts = jax.ops.segment_sum(
-        (nms_hi > 0).astype(jnp.int32).reshape(-1), cell.reshape(-1),
-        num_segments=n_cells)
-    use_low = (hi_counts < per_cell)[cell]
-    merged = jnp.where(nms_hi > 0, nms_hi, jnp.where(use_low, nms_lo, 0.0))
+    hi_counts = jnp.sum(hi_cells > 0, axis=-1)
+    use_low = (hi_counts < per_cell)[:, None]
+    merged_cells = jnp.where(hi_cells > 0, hi_cells,
+                             jnp.where(use_low, lo_cells, 0.0))
 
-    # per-cell top-K then global top max_points: rank key pushes each cell's best
-    # points ahead by (cell-local rank), implemented via two sorts
-    flat_score = merged.reshape(-1)
-    flat_cell = cell.reshape(-1)
+    cell_vals, cell_idx = jax.lax.top_k(merged_cells, per_cell)
 
-    # sort by (cell, -score) to get per-cell ranks
-    order = jnp.lexsort((-flat_score, flat_cell))
-    sorted_cell = flat_cell[order]
-    ranks = jnp.arange(flat_score.shape[0], dtype=jnp.int32)
-    cell_start = jnp.searchsorted(sorted_cell, jnp.arange(n_cells, dtype=jnp.int32))
-    rank_in_cell = ranks - cell_start[sorted_cell]
-    keep_sorted = (rank_in_cell < per_cell) & (flat_score[order] > 0)
-
-    # global top-max_points among kept candidates by score
-    cand_score = jnp.where(keep_sorted, flat_score[order], -1.0)
-    top_scores, top_pos = jax.lax.top_k(cand_score, max_points)
-    top_flat = order[top_pos]
+    # global top-max_points among the per-cell winners
+    top_scores, top_pos = jax.lax.top_k(cell_vals.reshape(-1), max_points)
+    cell_of_top = top_pos // per_cell
+    within = cell_idx.reshape(-1)[top_pos]
     valid = top_scores > 0
 
-    ys_sel = top_flat // w
-    xs_sel = top_flat % w
-    x_ref, y_ref = _subpixel_refine(merged, ys_sel, xs_sel)
+    ys_sel = (cell_of_top // cell_cols) * ch + within // cw
+    xs_sel = (cell_of_top % cell_cols) * cw + within % cw
+    # subpixel refine on the raw (pre-NMS) response surface
+    refine_img = jnp.where(score > 0, score, score_low)
+    x_ref, y_ref = _subpixel_refine(refine_img, ys_sel, xs_sel)
     xy = jnp.stack([x_ref, y_ref], axis=-1)
     xy = jnp.where(valid[:, None], xy, 0.0)
     return xy, jnp.where(valid, top_scores, 0.0), valid

@@ -79,14 +79,48 @@ def _lk_level(prev_img, next_img, pt_prev, guess, win_h: int, win_w: int,
     return guess, ok
 
 
-@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations"))
+def _use_pallas_default():
+    return jax.default_backend() not in ("cpu",)
+
+
+@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
+                                   "use_pallas"))
 def lk_track(prev_pyramid, next_pyramid, points, points_valid,
              levels: int = 4, win_h: int = 53, win_w: int = 53,
-             iterations: int = 10, eps: float = 0.03):
+             iterations: int = 10, eps: float = 0.03,
+             use_pallas: bool | None = None):
     """Track ``points`` [N, 2] from the previous to the next image.
 
     ``prev_pyramid``/``next_pyramid`` are lists from :func:`build_pyramid` (length
-    >= levels+1).  Returns (new_points [N, 2], status [N] bool)."""
+    >= levels+1).  Returns (new_points [N, 2], status [N] bool).
+
+    On TPU the per-level solve runs as a Pallas kernel with VMEM-resident images
+    (ops/pallas_lk.py); the pure-XLA path is used on CPU."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+
+    if use_pallas:
+        from .pallas_lk import lk_level_pallas
+
+        g = jnp.zeros_like(points)
+        ok_all = points_valid
+        for lvl in range(levels, -1, -1):
+            lh, lw = prev_pyramid[lvl].shape
+            wh = min(win_h, lh - 3)
+            ww = min(win_w, lw - 3)
+            pts_l = points * (0.5 ** lvl)
+            g, ok = lk_level_pallas(prev_pyramid[lvl], next_pyramid[lvl],
+                                    pts_l, g, points_valid,
+                                    win_h=wh, win_w=ww, iterations=iterations,
+                                    eps=eps)
+            ok_all = ok_all & ok
+            if lvl > 0:
+                g = g * 2.0
+        new_pts = points + g
+        h, w = prev_pyramid[0].shape
+        status = ok_all & in_border(new_pts, h, w, margin=1.0) \
+            & jnp.all(jnp.isfinite(new_pts), axis=-1)
+        return jnp.where(status[:, None], new_pts, points), status
 
     def track_one(pt, valid):
         g = jnp.zeros(2, dtype=pt.dtype)

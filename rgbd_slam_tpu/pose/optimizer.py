@@ -173,7 +173,8 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
         covariance = compute_pose_variance(
             k_cov, final_coeffs, inlier_final, cam,
             iterations=engine_cfg.pose_covariance_mc_iterations,
-            lm_iterations=engine_cfg.lm_iterations)
+            lm_iterations=getattr(engine_cfg, "mc_lm_iterations",
+                                  engine_cfg.lm_iterations))
     else:
         covariance = jnp.eye(6, dtype=dt) * 1e-3
 

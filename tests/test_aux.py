@@ -1,0 +1,109 @@
+"""Aux subsystem tests: checkpoint/resume, stage timing, runner, determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rgbd_slam_tpu import engine, runner
+from rgbd_slam_tpu.config import CameraIntrinsics, EngineConfig, MappingConfig, SlamConfig
+from rgbd_slam_tpu.io import checkpoint
+from rgbd_slam_tpu.profiling import StageTimer
+from rgbd_slam_tpu.synthetic import WallScene, lateral_trajectory
+
+CAM = CameraIntrinsics(width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0)
+CFG = SlamConfig(
+    mapping=MappingConfig(max_points_3d=128, max_points_2d=32, max_planes=8,
+                          max_tracked_points=64),
+    engine=EngineConfig(pose_covariance_mc_iterations=8, lm_iterations=8,
+                        ransac_hypothesis_batch=16),
+)
+
+
+def short_sequence(n=3):
+    scene = WallScene(CAM)
+    return [scene.render(q, p) for q, p in lateral_trajectory(n)]
+
+
+class TestCheckpoint:
+    def test_round_trip_bit_exact(self, tmp_path):
+        frames = short_sequence(2)
+        state = engine.init_state(CAM, CFG)
+        for g, d in frames:
+            state, _ = engine.step(state, jnp.asarray(g), jnp.asarray(d), CAM, CFG)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save_state(state, path)
+        template = engine.init_state(CAM, CFG)
+        loaded = checkpoint.load_state(path, template)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_identically(self, tmp_path):
+        frames = short_sequence(4)
+        # run all 4 frames straight
+        s1 = engine.init_state(CAM, CFG)
+        for g, d in frames:
+            s1, o1 = engine.step(s1, jnp.asarray(g), jnp.asarray(d), CAM, CFG)
+        # run 2, checkpoint, resume, run 2 more
+        s2 = engine.init_state(CAM, CFG)
+        for g, d in frames[:2]:
+            s2, _ = engine.step(s2, jnp.asarray(g), jnp.asarray(d), CAM, CFG)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save_state(s2, path)
+        s3 = checkpoint.load_state(path, engine.init_state(CAM, CFG))
+        for g, d in frames[2:]:
+            s3, o3 = engine.step(s3, jnp.asarray(g), jnp.asarray(d), CAM, CFG)
+        np.testing.assert_allclose(np.asarray(o1.position), np.asarray(o3.position),
+                                   atol=1e-5)
+
+    def test_capacity_mismatch_rejected(self, tmp_path):
+        state = engine.init_state(CAM, CFG)
+        path = str(tmp_path / "ckpt.npz")
+        checkpoint.save_state((state.quat, state.position), path)
+        try:
+            checkpoint.load_state(path, state)
+            assert False, "should have raised"
+        except ValueError:
+            pass
+
+
+class TestDeterminism:
+    def test_same_seed_same_trajectory(self):
+        frames = short_sequence(3)
+        outs = []
+        for _ in range(2):
+            state = engine.init_state(CAM, CFG, seed=42)
+            for g, d in frames:
+                state, out = engine.step(state, jnp.asarray(g), jnp.asarray(d),
+                                         CAM, CFG)
+            outs.append(np.asarray(out.position))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
+class TestRunner:
+    def test_run_frames_produces_trajectory(self):
+        frames = short_sequence(3)
+        state, traj, stats = runner.run_frames(frames, CAM, CFG)
+        assert stats.frame_count == 3
+        assert len(traj.positions) == 3
+        assert stats.mean_step_ms > 0
+
+    def test_evaluate_against_gt(self):
+        scene = WallScene(CAM)
+        poses = lateral_trajectory(4)
+        frames = [scene.render(q, p) for q, p in poses]
+        state, traj, stats = runner.run_frames(frames, CAM, CFG)
+        gt = np.stack([p for _, p in poses])
+        metrics = runner.evaluate_against_ground_truth(traj, gt)
+        assert metrics["frames"] == 4
+        assert metrics["ate_rmse_mm"] < 20.0
+
+
+class TestStageTimer:
+    def test_breakdown(self):
+        t = StageTimer()
+        t.record("extract", 0.010)
+        t.record("extract", 0.020)
+        t.record("optimize", 0.030)
+        report = t.show_statistics(frame_count=2)
+        assert "extract" in report and "optimize" in report
+        assert "15.00 ms" in report  # mean of extract
