@@ -6,7 +6,20 @@ object graphs; Pallas kernels for the hot image ops; pjit/shard_map over device 
 for the distributed bundle-adjustment backend.
 """
 
+import os as _os
+
 import jax as _jax
+
+# Persistent compilation cache: Mosaic/XLA lowering of the larger kernels takes
+# minutes on a cold process; the cache amortizes it across runs.
+_cache_dir = _os.environ.get("RGBD_SLAM_JAX_CACHE",
+                             _os.path.join(_os.path.dirname(__file__), "..",
+                                           ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 # TPU MXU default matmul precision is bf16; the SLAM pipeline's small-matrix algebra
 # (4x4 transforms, covariance propagation, Kalman/LM solves) needs true f32.  Hot

@@ -157,7 +157,9 @@ class EngineConfig:
     lm_iterations: int = 16           # fixed-iteration batched LM (replaces Eigen LM)
     mc_lm_iterations: int = 6         # LM iterations per MC covariance sample (the
                                       # perturbed solves start at the optimum)
-    ransac_hypothesis_batch: int = 64 # batched hypotheses replace tbb loop
+    ransac_hypothesis_batch: int = 32 # batched hypotheses replace the tbb loop
+                                      # (the reference's own formula gives ~25
+                                      # iterations, pose_optimization.cpp:129-132)
 
 
 @dataclass(frozen=True)

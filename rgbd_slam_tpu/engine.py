@@ -44,7 +44,7 @@ class SlamState(NamedTuple):
     points: maps.PointMap
     points2d: maps.Point2DMap
     planes: maps.PlaneMap
-    prev_gray: jnp.ndarray         # [H, W] previous frame
+    prev_pyramid: tuple            # previous frame's LK pyramid (levels+1 arrays)
     tracked_uv: jnp.ndarray        # [T, 2] screen pos of tracked map points
     tracked_ok: jnp.ndarray        # [T]
     tracked_map_idx: jnp.ndarray   # [T] int32 map slot of each tracked row
@@ -80,7 +80,9 @@ def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
         points=maps.empty_point_map(m3),
         points2d=maps.empty_point2d_map(cfg.mapping.max_points_2d),
         planes=maps.empty_plane_map(cfg.mapping.max_planes),
-        prev_gray=jnp.zeros((cam.height, cam.width), dt),
+        prev_pyramid=tuple(image.build_pyramid(
+            jnp.zeros((cam.height, cam.width), dt),
+            cfg.detection.optical_flow_pyramid_depth)),
         tracked_uv=jnp.zeros((cfg.mapping.max_tracked_points, 2), dt),
         tracked_ok=jnp.zeros((cfg.mapping.max_tracked_points,), bool),
         tracked_map_idx=jnp.full((cfg.mapping.max_tracked_points,), -1, jnp.int32),
@@ -194,7 +196,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     levels = det_cfg.optical_flow_pyramid_depth
     win_w = cam.width // det_cfg.optical_flow_window_width
     win_h = cam.height // det_cfg.optical_flow_window_height
-    pyr_prev = image.build_pyramid(state.prev_gray, levels)
+    pyr_prev = list(state.prev_pyramid)
     pyr_cur = image.build_pyramid(gray, levels)
 
     # optical flow on last frame's tracked map points ("low cost association",
@@ -583,7 +585,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         quat=new_quat, position=new_pos, pose_cov=new_pose_cov,
         motion=motion_state,
         points=new_points, points2d=new_points2d, planes=new_planes,
-        prev_gray=gray,
+        prev_pyramid=tuple(pyr_cur),
         tracked_uv=tracked_uv_next,
         tracked_ok=tracked_ok_next,
         tracked_map_idx=tracked_idx_next,

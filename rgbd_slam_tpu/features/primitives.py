@@ -40,7 +40,7 @@ from . import moments
 
 MAX_PLANES = 16
 MAX_CYLINDERS = 4
-MAX_SEED_ITERATIONS = 24
+MAX_SEED_ITERATIONS = 12
 HIST_BINS = 20  # reference: Histogram<20>, histogram.hpp:20-133
 
 
@@ -105,13 +105,13 @@ def fit_plane_from_moments(cnt, mean, m2):
     Plane_Segment::fit_plane, plane_segment.cpp:232-284).  Batched.
 
     Returns (normal, d, centroid, mse, score, ok)."""
+    from ..geometry.eig3 import sym_eig3_smallest
+
     safe = jnp.maximum(cnt, 1.0)
     cov = 0.5 * (m2 + jnp.swapaxes(m2, -1, -2))
 
-    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    eigvals, normal = sym_eig3_smallest(cov)
     eigvals = jnp.abs(eigvals)  # ascending
-    normal = eigvecs[..., :, 0]
-    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
     d = -jnp.sum(normal * mean, axis=-1)
     # orient normal toward the camera (d > 0), plane_segment.cpp:268-273
     flip = d <= 0
@@ -241,10 +241,10 @@ def _fit_cylinder(grid: CellGrid, active):
     projected cell centroids.  Returns (axis, center, radius, mse)."""
     w = (active & grid.planar).astype(grid.normal.dtype)
     cnt = jnp.maximum(jnp.sum(w), 1.0)
+    from ..geometry.eig3 import sym_eig3_smallest
+
     nn = jnp.einsum("c,ci,cj->ij", w, grid.normal, grid.normal)
-    eigvals, eigvecs = jnp.linalg.eigh(nn)
-    axis = eigvecs[:, 0]
-    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
+    _, axis = sym_eig3_smallest(nn)
 
     u, v = poly.plane_basis(axis)
     mean_c = jnp.sum(grid.mean * w[:, None], axis=0) / cnt

@@ -80,7 +80,11 @@ def _lk_level(prev_img, next_img, pt_prev, guess, win_h: int, win_w: int,
 
 
 def _use_pallas_default():
-    return jax.default_backend() not in ("cpu",)
+    # The Pallas per-level kernel (ops/pallas_lk.py) is ~1.5x faster in steady state
+    # on TPU (11.7ms vs 17.1ms for 128 points) but its Mosaic lowering adds minutes
+    # to each cold engine compile (one kernel instance per pyramid-level shape), so
+    # the XLA formulation is the default; opt in with use_pallas=True.
+    return False
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
@@ -145,11 +149,12 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
     return jax.vmap(track_one)(points, points_valid)
 
 
-@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations"))
+@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
+                                   "use_pallas"))
 def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
                            max_roundtrip_px: float = 30.0,
                            levels: int = 4, win_h: int = 53, win_w: int = 53,
-                           iterations: int = 10):
+                           iterations: int = 10, use_pallas: bool | None = None):
     """Forward LK + backward validation (reference: get_keypoints_from_optical_flow,
     keypoint_detection.cpp:262-361): forward track, border filter, backward track,
     reject when the round trip exceeds ``max_roundtrip_px`` (matchSearchRadius).
@@ -158,10 +163,10 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
     index, i.e. their map id ("low cost feature association")."""
     fwd, fwd_ok = lk_track(prev_pyramid, next_pyramid, points, points_valid,
                            levels=levels, win_h=win_h, win_w=win_w,
-                           iterations=iterations)
+                           iterations=iterations, use_pallas=use_pallas)
     bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
                            levels=levels, win_h=win_h, win_w=win_w,
-                           iterations=iterations)
+                           iterations=iterations, use_pallas=use_pallas)
     roundtrip = jnp.linalg.norm(points - bwd, axis=-1)
     status = fwd_ok & bwd_ok & (roundtrip <= max_roundtrip_px)
     return jnp.where(status[:, None], fwd, points), status

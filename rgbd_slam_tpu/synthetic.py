@@ -10,7 +10,22 @@ from __future__ import annotations
 import numpy as np
 
 from .config import CameraIntrinsics
-from .geometry import se3
+from .geometry.se3 import AXIS_CORRECTION
+
+
+def _c2w_numpy(quat, position):
+    """Host-side camera->world matrix (pure numpy: the renderer must not touch the
+    device — a single eager jax op chain costs minutes of remote compile here)."""
+    w, x, y, z = [float(v) for v in quat]
+    r = np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    m = np.eye(4)
+    m[:3, :3] = AXIS_CORRECTION @ r
+    m[:3, 3] = AXIS_CORRECTION @ np.asarray(position, dtype=np.float64)
+    return m
 
 
 class WallScene:
@@ -33,8 +48,7 @@ class WallScene:
     def render(self, quat, position):
         """Returns (gray [H,W] f32, depth_mm [H,W] f32)."""
         cam = self.cam
-        c2w = np.asarray(se3.camera_to_world(np.asarray(quat, np.float32),
-                                             np.asarray(position, np.float32)))
+        c2w = _c2w_numpy(quat, position)
         origin, rot = c2w[:3, 3], c2w[:3, :3]
         us, vs = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
         d = np.stack([(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy,

@@ -271,3 +271,24 @@ class TestJitAndBatch:
         ps = jnp.asarray(rng.normal(size=(8, 3)), dtype=jnp.float32)
         mats = jax.vmap(se3.camera_to_world)(qs, ps)
         assert mats.shape == (8, 4, 4)
+
+
+class TestEig3:
+    def test_matches_eigh(self, rng):
+        from rgbd_slam_tpu.geometry.eig3 import sym_eig3_smallest
+
+        m = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        a = jnp.asarray(np.einsum("nij,nkj->nik", m, m))  # PSD
+        vals, vec = sym_eig3_smallest(a)
+        ref_vals, ref_vecs = np.linalg.eigh(np.asarray(a))
+        np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=2e-3, atol=1e-3)
+        dot = np.abs(np.sum(np.asarray(vec) * ref_vecs[..., 0], axis=-1))
+        np.testing.assert_allclose(dot, 1.0, atol=5e-3)
+
+    def test_isotropic_matrix(self):
+        from rgbd_slam_tpu.geometry.eig3 import sym_eig3_smallest
+
+        a = jnp.eye(3)[None] * 2.5
+        vals, vec = sym_eig3_smallest(a)
+        np.testing.assert_allclose(np.asarray(vals)[0], [2.5, 2.5, 2.5], atol=1e-6)
+        assert np.isfinite(np.asarray(vec)).all()
