@@ -160,6 +160,9 @@ class EngineConfig:
     ransac_hypothesis_batch: int = 32 # batched hypotheses replace the tbb loop
                                       # (the reference's own formula gives ~25
                                       # iterations, pose_optimization.cpp:129-132)
+    p3p_hypothesis_batch: int = 16    # closed-form P3P minimal-subset hypotheses
+                                      # added to the pool (north-star batched P3P;
+                                      # up to 4 candidate poses per subset)
 
 
 @dataclass(frozen=True)

@@ -107,6 +107,41 @@ def _draw_subsets(key, scores, valid, batch: int):
     return weights
 
 
+#: compact per-hypothesis subset capacities: any score-1.0 subset fits
+#: (5 points x 0.2, 5 2d-points x 0.2, 3 planes x 1/3, or a crossing mix)
+_SUBSET_CAPS = (6, 6, 3)
+
+
+def _compact_subset(feats: MatchedFeatures, sel_unified) -> MatchedFeatures:
+    """Gather one hypothesis' selected features into small fixed-capacity blocks so
+    the per-hypothesis LM solves a ~30-row system instead of the full map-capacity
+    residual stack."""
+    np_, n2, nk = feats.capacities
+    cp, c2, ck = _SUBSET_CAPS
+
+    def compact_idx(mask, cap):
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dest = jnp.where(mask & (rank < cap), rank, cap)
+        idx = jnp.full((cap,), 0, jnp.int32).at[dest].set(
+            jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop")
+        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
+        return idx, jnp.arange(cap) < cnt
+
+    sp, s2, sk = feats.split_unified(sel_unified)
+    ip, mp_ = compact_idx(sp, cp)
+    i2, m2_ = compact_idx(s2, c2)
+    ik, mk_ = compact_idx(sk, ck)
+
+    return MatchedFeatures(
+        point_obs_uv=feats.point_obs_uv[ip], point_world=feats.point_world[ip],
+        point_world_std=feats.point_world_std[ip], point_mask=mp_,
+        point2d_obs_uv=feats.point2d_obs_uv[i2], point2d_state=feats.point2d_state[i2],
+        point2d_state_std=feats.point2d_state_std[i2], point2d_mask=m2_,
+        plane_cam=feats.plane_cam[ik], plane_world=feats.plane_world[ik],
+        plane_world_std=feats.plane_world_std[ik], plane_mask=mk_,
+    )
+
+
 def _score_pose(coeffs, feats, cam, ransac_cfg):
     from .features import PLANE_SCORE, POINT2D_SCORE, POINT_SCORE
 
@@ -134,16 +169,45 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
     enough = jnp.sum(scores) >= 1.0  # pose_optimization.cpp:117-124
 
     b = engine_cfg.ransac_hypothesis_batch
-    k_subsets, k_cov = jax.random.split(key)
+    k_subsets, k_p3p, k_cov = jax.random.split(key, 3)
     weights = _draw_subsets(k_subsets, scores, valid, b)
 
-    # batched LM on each hypothesis subset (replaces pose_optimization.cpp:154-226)
+    # batched LM on each hypothesis subset (replaces pose_optimization.cpp:154-226);
+    # each subset is compacted to a ~30-row system before the solve
     hyp_coeffs, _ = jax.vmap(
-        lambda w: lm_solve(coeffs0, feats, cam, w,
+        lambda w: lm_solve(coeffs0, _compact_subset(feats, w > 0), cam,
                            iterations=engine_cfg.lm_iterations))(weights)
+
+    # closed-form P3P hypotheses from random 3-point minimal subsets
+    # (north-star batched P3P-RANSAC; the reference only vendors the solver)
+    b3 = getattr(engine_cfg, "p3p_hypothesis_batch", 0)
+    if b3 > 0:
+        from ..geometry import pinhole
+        from ..ops.p3p import p3p
+
+        pri = jax.random.uniform(k_p3p, (b3, feats.point_mask.shape[0]))
+        pri = jnp.where(feats.point_mask[None, :], pri, 2.0)
+        _, tri_idx = jax.lax.top_k(-pri, 3)                    # [b3, 3]
+        tri_world = feats.point_world[tri_idx]                 # [b3, 3, 3]
+        tri_uv = feats.point_obs_uv[tri_idx]
+        uv1 = jnp.concatenate([tri_uv, jnp.ones_like(tri_uv[..., :1])], axis=-1)
+        dirs = pinhole.screen_to_camera(uv1, cam)
+        bearings = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+        enough_pts = jnp.sum(feats.point_mask) >= 3
+        q3, p3, ok3 = p3p(tri_world, bearings)                 # [b3, 4, ...]
+        p3p_coeffs = se3.pose_to_coefficients(
+            q3.reshape(-1, 4), p3.reshape(-1, 3))
+        p3p_ok = ok3.reshape(-1) & enough_pts
+        hyp_coeffs = jnp.concatenate([hyp_coeffs, p3p_coeffs], axis=0)
+        hyp_ok = jnp.concatenate(
+            [jnp.ones((b,), bool), p3p_ok], axis=0)
+    else:
+        hyp_ok = jnp.ones((b,), bool)
 
     hyp_scores, hyp_counts = jax.vmap(
         lambda c: _score_pose(c, feats, cam, ransac_cfg)[:2])(hyp_coeffs)
+    hyp_scores = jnp.where(hyp_ok, hyp_scores, -1.0)
 
     # best hypothesis: max score, ties by inlier count
     # (pose_optimization.cpp:205-215)
