@@ -66,6 +66,7 @@ class StepOutput(NamedTuple):
     n_points_alive: jnp.ndarray
     n_planes_alive: jnp.ndarray
     n_detected: jnp.ndarray
+    n_lines: jnp.ndarray
 
 
 def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
@@ -173,9 +174,9 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
 # the frame step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "with_planes"))
+@partial(jax.jit, static_argnames=("cam", "cfg", "with_planes", "with_lines"))
 def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
-         cfg: SlamConfig, with_planes: bool = True):
+         cfg: SlamConfig, with_planes: bool = True, with_lines: bool = False):
     """Process one RGB-D frame (reference: RGBD_SLAM::track, rgbd_slam.cpp:99-160 +
     compute_new_pose, :163-257)."""
     dt = gray.dtype
@@ -277,6 +278,17 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         q_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
     det_taken = det_taken.at[
         jnp.where(q_matched, q_match_idx, n_det)].set(True, mode="drop")
+
+    # lines: detection-only, matching the reference where USE_LINE_DETECTION is
+    # a build toggle and lines never reach pose optimization
+    # (rgbd_slam.cpp:304-313, SURVEY.md §2.3)
+    if with_lines:
+        from .features.lines import detect_lines
+
+        det_lines = detect_lines(gray)
+        n_lines = jnp.sum(det_lines.valid)
+    else:
+        n_lines = jnp.asarray(0, jnp.int32)
 
     # planes
     if with_planes:
@@ -603,5 +615,6 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_points_alive=jnp.sum(maps.alive(new_points)),
         n_planes_alive=jnp.sum(maps.alive(new_planes)),
         n_detected=jnp.sum(det_valid),
+        n_lines=n_lines,
     )
     return new_state, output
