@@ -61,8 +61,40 @@ def main():
         "vs_baseline": round(fps / 400.0, 4),
         "final_pose_error_mm": round(err, 2),
         "tracking_success": bool(out.success),
+        "ba_iters_per_s": round(bench_ba(), 1),
     }
     print(json.dumps(result))
+
+
+def bench_ba(k=8, l=4096, c=4, iterations=16):
+    """Windowed Schur-BA iterations/s on this chip (north-star BA metric)."""
+    from jax.sharding import Mesh
+
+    from rgbd_slam_tpu.geometry import pinhole, se3
+    from rgbd_slam_tpu.parallel import ba
+
+    cam = TUM_FR1
+    rng = np.random.default_rng(0)
+    poses = jnp.tile(se3.pose_to_coefficients(
+        jnp.asarray([1.0, 0, 0, 0], jnp.float32), jnp.zeros(3, jnp.float32))[None],
+        (k, 1))
+    landmarks = jnp.asarray(np.concatenate(
+        [rng.uniform(2000, 4000, (l, 1)), rng.uniform(-1500, 1500, (l, 2))], 1),
+        jnp.float32)
+    obs_kf = jnp.asarray(rng.integers(0, k, (l, c)), jnp.int32)
+    w2c = se3.world_to_camera(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                              jnp.zeros(3, jnp.float32))
+    scr, ok = pinhole.world_to_screen(landmarks, w2c, cam)
+    obs_uv = jnp.broadcast_to(scr[:, None, :2], (l, c, 2)).astype(jnp.float32) \
+        + jnp.asarray(rng.normal(0, 0.3, (l, c, 2)), jnp.float32)
+    obs_mask = jnp.broadcast_to(ok[:, None], (l, c))
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("lm",))
+    fn = ba.make_sharded_ba(mesh, cam, n_keyframes=k, iterations=iterations)
+    out = jax.block_until_ready(fn(poses, landmarks, obs_kf, obs_uv, obs_mask))
+    t0 = time.time()
+    out = jax.block_until_ready(fn(poses, landmarks, obs_kf, obs_uv, obs_mask))
+    return iterations / (time.time() - t0)
 
 
 if __name__ == "__main__":

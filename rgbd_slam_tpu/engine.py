@@ -235,21 +235,40 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     pts_alive = maps.alive(pts)
 
     # 3D points: optical flow hit first, else windowed descriptor match
-    # (MapPoint::find_matches, map_point.cpp:71-114)
+    # (MapPoint::find_matches, map_point.cpp:71-114).  Matching runs local-map
+    # features before staged ones and retries unmatched features at double the
+    # search radius when the match count is below the optimization minimum
+    # (two-pass + advanced search, feature_map.hpp:308-326)
     proj3, proj3_ok = pinhole.world_to_screen(pts.pos, w2c, cam)
     need_desc_match = pts_alive & ~of_ok & proj3_ok
-    p_match_idx, p_match_dist = matching.match_descriptors(
-        pts.desc, proj3[:, :2], need_desc_match,
-        det_desc, det_xy, det_valid, jnp.zeros_like(det_valid),
-        search_radius=cfg.matching.match_search_radius_px,
-        lowe_ratio=cfg.matching.max_match_distance)
-    p_match_idx = matching.resolve_match_conflicts(
-        p_match_idx, p_match_dist, det_xy.shape[0])
-
     n_det = det_xy.shape[0]
     det_taken = jnp.zeros_like(det_valid)
-    det_taken = det_taken.at[
-        jnp.where(p_match_idx >= 0, p_match_idx, n_det)].set(True, mode="drop")
+
+    def match_pass(mask, taken, radius):
+        idx, dist = matching.match_descriptors(
+            pts.desc, proj3[:, :2], mask,
+            det_desc, det_xy, det_valid, taken,
+            search_radius=radius,
+            lowe_ratio=cfg.matching.max_match_distance)
+        idx = matching.resolve_match_conflicts(idx, dist, n_det)
+        new_taken = taken.at[jnp.where(idx >= 0, idx, n_det)].set(
+            True, mode="drop")
+        return idx, new_taken
+
+    radius = cfg.matching.match_search_radius_px
+    idx_loc, det_taken = match_pass(need_desc_match & pts.is_local,
+                                    det_taken, radius)
+    idx_stg, det_taken = match_pass(need_desc_match & ~pts.is_local,
+                                    det_taken, radius)
+    p_match_idx = jnp.where(idx_loc >= 0, idx_loc, idx_stg)
+
+    # advanced search: 2x radius retry when below minimumPointForOptimization
+    n_matched_now = jnp.sum(of_ok) + jnp.sum(p_match_idx >= 0)
+    idx_adv, det_taken_adv = match_pass(
+        need_desc_match & (p_match_idx < 0), det_taken, radius * 2.0)
+    use_adv = n_matched_now < cfg.ransac.min_point_count
+    p_match_idx = jnp.where(use_adv & (p_match_idx < 0), idx_adv, p_match_idx)
+    det_taken = jnp.where(use_adv, det_taken_adv, det_taken)
 
     p_obs_uv = jnp.where(of_ok[:, None], of_uv,
                          det_xy[jnp.clip(p_match_idx, 0, det_xy.shape[0] - 1)])

@@ -107,3 +107,28 @@ class TestStageTimer:
         report = t.show_statistics(frame_count=2)
         assert "extract" in report and "optimize" in report
         assert "15.00 ms" in report  # mean of extract
+
+
+class TestDebugImage:
+    def test_renders_overlays(self):
+        from rgbd_slam_tpu.io.debug_image import render_debug_image
+
+        frames = short_sequence(2)
+        state = engine.init_state(CAM, CFG)
+        for g, d in frames:
+            state, out = engine.step(state, jnp.asarray(g), jnp.asarray(d), CAM, CFG)
+        img = render_debug_image(frames[-1][0], state, CAM, fps=12.5,
+                                 is_lost=False)
+        assert img.shape == (240, 320, 3) and img.dtype == np.uint8
+        # overlays drew some colored (non-gray) pixels
+        colored = (img[..., 0] != img[..., 1]) | (img[..., 1] != img[..., 2])
+        assert colored.sum() > 100
+
+    def test_lost_tint(self):
+        from rgbd_slam_tpu.io.debug_image import render_debug_image
+
+        frames = short_sequence(1)
+        state = engine.init_state(CAM, CFG)
+        img_ok = render_debug_image(frames[0][0], state, CAM, is_lost=False)
+        img_lost = render_debug_image(frames[0][0], state, CAM, is_lost=True)
+        assert img_lost[50:, :, 0].mean() > img_ok[50:, :, 0].mean() + 30
