@@ -67,6 +67,10 @@ class StepOutput(NamedTuple):
     n_planes_alive: jnp.ndarray
     n_detected: jnp.ndarray
     n_lines: jnp.ndarray
+    # per-slot observation record for the keyframe/BA backend
+    point_obs_uv: jnp.ndarray   # [M3, 2] matched screen observation
+    point_matched: jnp.ndarray  # [M3] bool (match AND RANSAC inlier)
+    point_fid: jnp.ndarray      # [M3] map feature id (-1 = empty)
 
 
 def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
@@ -635,5 +639,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_planes_alive=jnp.sum(maps.alive(new_planes)),
         n_detected=jnp.sum(det_valid),
         n_lines=n_lines,
+        point_obs_uv=p_obs_uv,
+        point_matched=p_final & pts_alive,
+        point_fid=pts.fid,
     )
     return new_state, output

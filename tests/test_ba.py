@@ -120,3 +120,65 @@ class TestShardedBA:
         out = jax.block_until_ready(fn(poses0, lm0, obs_kf, uv, mask))
         iters_per_s = 6 / (time.time() - t0)
         assert iters_per_s > 0
+
+
+class TestKeyframeWindow:
+    def _run_engine_window(self):
+        import jax.numpy as jnp
+
+        from rgbd_slam_tpu import engine
+        from rgbd_slam_tpu.config import (CameraIntrinsics, EngineConfig,
+                                          MappingConfig, SlamConfig)
+        from rgbd_slam_tpu.parallel.keyframes import KeyframeWindow
+        from rgbd_slam_tpu.synthetic import WallScene, lateral_trajectory
+
+        cam = CameraIntrinsics(width=320, height=240, fx=260.0, fy=260.0,
+                               cx=160.0, cy=120.0)
+        cfg = SlamConfig(
+            mapping=MappingConfig(max_points_3d=128, max_points_2d=32,
+                                  max_planes=8, max_tracked_points=64),
+            engine=EngineConfig(pose_covariance_mc_iterations=8,
+                                lm_iterations=8, ransac_hypothesis_batch=16))
+        scene = WallScene(cam)
+        poses = lateral_trajectory(6)
+        window = KeyframeWindow(max_keyframes=6)
+        state = engine.init_state(cam, cfg)
+        for i, (q, p) in enumerate(poses):
+            g, d = scene.render(q, p)
+            state, out = engine.step(state, jnp.asarray(g), jnp.asarray(d),
+                                     cam, cfg)
+            window.add_keyframe(out.quat, out.position, out, state.points.pos,
+                                timestamp=i)
+        return cam, window, poses
+
+    def test_window_collects_observations(self):
+        cam, window, poses = self._run_engine_window()
+        assert window.n_keyframes == 6
+        multi = [e for e in window.obs.values() if len(e) >= 2]
+        assert len(multi) >= 20, f"only {len(multi)} multi-view landmarks"
+
+    def test_refine_reduces_cost_and_keeps_trajectory(self):
+        cam, window, poses = self._run_engine_window()
+        result = window.refine(cam, iterations=6)
+        assert result is not None
+        refined, lm, costs = result
+        assert costs[-1] <= costs[0] * 1.05
+        # refined keyframe positions stay close to ground truth
+        for (q, p), (gt_q, gt_p) in zip(refined, poses):
+            assert np.linalg.norm(p - np.asarray(gt_p)) < 15.0
+
+    def test_window_slides(self):
+        from rgbd_slam_tpu.parallel.keyframes import KeyframeWindow
+
+        class FakeOut:
+            def __init__(self):
+                self.point_matched = np.zeros(4, bool)
+                self.point_fid = np.full(4, -1)
+                self.point_obs_uv = np.zeros((4, 2))
+
+        w = KeyframeWindow(max_keyframes=3)
+        for i in range(5):
+            w.add_keyframe(np.array([1.0, 0, 0, 0]), np.zeros(3), FakeOut(),
+                           np.zeros((4, 3)), timestamp=i)
+        assert w.n_keyframes == 3
+        assert w.timestamps == [2.0, 3.0, 4.0]
