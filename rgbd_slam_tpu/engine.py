@@ -408,12 +408,19 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     # plane_with_tracking.cpp:16-95)
     pl = state.planes
     if with_planes:
-        obs_world_planes = planes_geo.normalize_plane(det_planes_world[safe_k])
-        obs_plane_cov = cov_mod.world_plane_covariance(
-            det_planes.params[safe_k], obs_world_planes, new_c2w,
+        # world-frame plane parameters + covariance for ALL detections once,
+        # using the OPTIMIZED pose (the predicted-pose transform in
+        # _match_planes is only a matching gate); shared by the matched-update
+        # and staged-insertion paths
+        det_world_norm = planes_geo.normalize_plane(planes_geo.transform_plane(
+            det_planes.params, se3.plane_camera_to_world_matrix(new_c2w)))
+        det_world_cov = cov_mod.world_plane_covariance(
+            det_planes.params, det_world_norm, new_c2w,
             cov_mod.plane_covariance_from_point_cloud(
-                det_planes.params[safe_k], det_planes.cloud_cov[safe_k]),
+                det_planes.params, det_planes.cloud_cov),
             pose_cov3)
+        obs_world_planes = det_world_norm[safe_k]
+        obs_plane_cov = det_world_cov[safe_k]
         upd_params, upd_pcov = kalman.track_planes(
             pl.params, pl.cov, obs_world_planes, obs_plane_cov)
         upd_params = planes_geo.normalize_plane(upd_params)
@@ -558,13 +565,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         slotsk = maps.allocate_slots(freek, wantk)
         okk = slotsk >= 0
         tgtk = jnp.where(okk, slotsk, mp)
-        pw = planes_geo.normalize_plane(
-            planes_geo.transform_plane(det_planes.params,
-                                       se3.plane_camera_to_world_matrix(new_c2w)))
-        pw_cov = cov_mod.world_plane_covariance(
-            det_planes.params, pw, new_c2w,
-            cov_mod.plane_covariance_from_point_cloud(
-                det_planes.params, det_planes.cloud_cov), pose_cov3)
+        pw = det_world_norm
+        pw_cov = det_world_cov
         r = new_c2w[:3, :3]
         t = new_c2w[:3, 3]
         n_newk = jnp.cumsum(okk.astype(jnp.int32))
