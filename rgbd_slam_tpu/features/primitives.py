@@ -235,10 +235,29 @@ def _histogram_top_bin(grid: CellGrid, available):
 # cylinder_segment.cpp:35-225 — full MSAC parity tracked for a later round)
 # ---------------------------------------------------------------------------
 
+_CYL_MSAC_HYPOTHESES = 32
+_CYL_TRUNC_MM = 40.0
+
+
+def _kasa_fit(x, y, w):
+    """Weighted algebraic (Kasa) circle fit -> (cx, cy, r)."""
+    a_mat = jnp.stack([2 * x * w, 2 * y * w, w], axis=-1)
+    b_vec = (x * x + y * y) * w
+    ata = a_mat.T @ a_mat + 1e-6 * jnp.eye(3, dtype=a_mat.dtype)
+    sol = jnp.linalg.solve(ata, a_mat.T @ b_vec)
+    cx, cy, t = sol[0], sol[1], sol[2]
+    return cx, cy, jnp.sqrt(jnp.maximum(t + cx * cx + cy * cy, 1e-9))
+
+
 def _fit_cylinder(grid: CellGrid, active):
-    """Axis from normal PCA (cylinder normals lie orthogonal to its axis,
-    cylinder_segment.cpp:47-105), center/radius from an algebraic circle fit of the
-    projected cell centroids.  Returns (axis, center, radius, mse)."""
+    """Cylinder fit over the activated cells (reference: Cylinder_Segment ctor,
+    cylinder_segment.cpp:35-225): axis from the PCA of cell normals (cylinder
+    normals are orthogonal to its axis, :47-105), then a truncated-distance MSAC
+    over circumcircle hypotheses in the axis-orthogonal plane (:143-224 — the
+    reference's sequential triplet RANSAC as a lockstep batch of deterministic
+    scrambled triplets) and an inlier-weighted Kasa refit (:196-224).
+
+    Returns (axis, center, radius, mse)."""
     w = (active & grid.planar).astype(grid.normal.dtype)
     cnt = jnp.maximum(jnp.sum(w), 1.0)
     from ..geometry.eig3 import sym_eig3_smallest
@@ -249,19 +268,56 @@ def _fit_cylinder(grid: CellGrid, active):
     u, v = poly.plane_basis(axis)
     mean_c = jnp.sum(grid.mean * w[:, None], axis=0) / cnt
     p2 = poly.project_to_plane(grid.mean, mean_c, u, v)
-
-    # Kasa circle fit
     x, y = p2[:, 0], p2[:, 1]
-    a_mat = jnp.stack([2 * x * w, 2 * y * w, w], axis=-1)
-    b_vec = (x * x + y * y) * w
-    ata = a_mat.T @ a_mat + 1e-6 * jnp.eye(3, dtype=a_mat.dtype)
-    sol = jnp.linalg.solve(ata, a_mat.T @ b_vec)
-    cx, cy, t = sol[0], sol[1], sol[2]
-    r = jnp.sqrt(jnp.maximum(t + cx * cx + cy * cy, 1e-9))
-    dist = jnp.sqrt(jnp.maximum((x - cx) ** 2 + (y - cy) ** 2, 1e-12)) - r
-    mse = jnp.sum(w * dist * dist) / cnt
-    center3 = poly.unproject_from_plane(jnp.stack([cx, cy]), mean_c, u, v)
-    return axis, center3, r, mse
+
+    # --- MSAC over circumcircle triplets: compact active cells, deterministic
+    # scrambled triplets (determinism parity with MAKE_DETERMINISTIC seeding)
+    nc = grid.mean.shape[0]
+    rank = jnp.cumsum((w > 0).astype(jnp.int32)) - 1
+    na = jnp.maximum(jnp.sum((w > 0).astype(jnp.int32)), 1)
+    compact = jnp.full((nc,), 0, jnp.int32).at[
+        jnp.where(w > 0, rank, nc)].set(jnp.arange(nc, dtype=jnp.int32),
+                                        mode="drop")
+    b = _CYL_MSAC_HYPOTHESES
+    tri = (jnp.arange(b * 3, dtype=jnp.uint32).reshape(b, 3)
+           * jnp.uint32(2654435761)).astype(jnp.uint32) % na.astype(jnp.uint32)
+    tri_idx = compact[tri.astype(jnp.int32)]     # [b, 3] cell indices
+    tx = x[tri_idx]
+    ty = y[tri_idx]
+
+    # circumcircle through 3 points (perpendicular-bisector solve)
+    ax_, ay_ = tx[:, 0], ty[:, 0]
+    bx_, by_ = tx[:, 1], ty[:, 1]
+    cx_, cy_ = tx[:, 2], ty[:, 2]
+    d = 2.0 * (ax_ * (by_ - cy_) + bx_ * (cy_ - ay_) + cx_ * (ay_ - by_))
+    d_safe = jnp.where(jnp.abs(d) < 1e-6, 1.0, d)
+    ux_ = ((ax_ ** 2 + ay_ ** 2) * (by_ - cy_) + (bx_ ** 2 + by_ ** 2) * (cy_ - ay_)
+           + (cx_ ** 2 + cy_ ** 2) * (ay_ - by_)) / d_safe
+    uy_ = ((ax_ ** 2 + ay_ ** 2) * (cx_ - bx_) + (bx_ ** 2 + by_ ** 2) * (ax_ - cx_)
+           + (cx_ ** 2 + cy_ ** 2) * (bx_ - ax_)) / d_safe
+    hyp_r = jnp.sqrt((ax_ - ux_) ** 2 + (ay_ - uy_) ** 2)
+    hyp_ok = jnp.abs(d) >= 1e-6
+
+    # truncated MSAC score over all active cells
+    dist = jnp.abs(jnp.sqrt(jnp.maximum(
+        (x[None, :] - ux_[:, None]) ** 2 + (y[None, :] - uy_[:, None]) ** 2,
+        1e-12)) - hyp_r[:, None])                       # [b, nc]
+    trunc2 = _CYL_TRUNC_MM ** 2
+    msac = jnp.sum(w[None, :] * jnp.minimum(dist * dist, trunc2), axis=-1)
+    msac = jnp.where(hyp_ok, msac, jnp.inf)
+    best = jnp.argmin(msac)
+
+    # inlier-weighted Kasa refit
+    inlier_w = w * (dist[best] < _CYL_TRUNC_MM)
+    enough = jnp.sum(inlier_w) >= 3
+    fit_w = jnp.where(enough, inlier_w, w)
+    cx2, cy2, r2 = _kasa_fit(x, y, fit_w)
+
+    dist2 = jnp.sqrt(jnp.maximum((x - cx2) ** 2 + (y - cy2) ** 2, 1e-12)) - r2
+    wsum = jnp.maximum(jnp.sum(fit_w), 1.0)
+    mse = jnp.sum(fit_w * dist2 * dist2) / wsum
+    center3 = poly.unproject_from_plane(jnp.stack([cx2, cy2]), mean_c, u, v)
+    return axis, center3, r2, mse
 
 
 # ---------------------------------------------------------------------------
