@@ -23,6 +23,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 import rgbd_slam_tpu  # noqa: E402, F401
+from rgbd_slam_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 from rgbd_slam_tpu import engine  # noqa: E402
 from rgbd_slam_tpu.config import TUM_FR1, SlamConfig  # noqa: E402
 from rgbd_slam_tpu.synthetic import WallScene, lateral_trajectory  # noqa: E402

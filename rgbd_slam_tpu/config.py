@@ -154,8 +154,9 @@ class EngineConfig:
     min_depth_mm: float = 40.0        # src/coordinates/point_coordinates.cpp:16
     max_depth_mm: float = 6000.0      # src/coordinates/point_coordinates.cpp:17
     pose_covariance_mc_iterations: int = 100  # pose_optimization.cpp:361-437
-    lm_iterations: int = 16           # fixed-iteration batched LM (replaces Eigen LM)
-    mc_lm_iterations: int = 6         # LM iterations per MC covariance sample (the
+    lm_iterations: int = 10           # fixed-iteration batched LM (replaces Eigen LM;
+                                      # deferred accept/reject, one linearize/iter)
+    mc_lm_iterations: int = 5         # LM iterations per MC covariance sample (the
                                       # perturbed solves start at the optimum)
     ransac_hypothesis_batch: int = 32 # batched hypotheses replace the tbb loop
                                       # (the reference's own formula gives ~25

@@ -40,7 +40,6 @@ from . import moments
 
 MAX_PLANES = 16
 MAX_CYLINDERS = 4
-MAX_SEED_ITERATIONS = 12
 HIST_BINS = 20  # reference: Histogram<20>, histogram.hpp:20-133
 
 
@@ -193,41 +192,59 @@ def _edge_maps(grid: CellGrid, gh: int, gw: int, cos_max: float):
     return jnp.stack(edges)  # [4, gh, gw]
 
 
-def _propagate_from_seed(seed_idx, edges, available, gh: int, gw: int):
-    """Masked label propagation to fixpoint: cells reachable from the seed through
-    directed mergeability edges, restricted to available cells."""
-    active0 = jnp.zeros((gh * gw,), bool).at[seed_idx].set(True).reshape(gh, gw)
-    avail = available.reshape(gh, gw)
+def _connected_components(edges, planar, gh: int, gw: int):
+    """Connected components of the planar-cell mergeability graph as min-label
+    propagation with pointer-jumping shortcuts.
+
+    The reference grows each histogram seed recursively through pairwise merge
+    tests (primitive_detection.cpp:778-818); the set a seed reaches is exactly its
+    connected component under those (symmetrized) edge tests, so one fixpoint over
+    the whole grid replaces every per-seed flood fill.  Returns [C] int32 labels
+    (component = min member cell index; non-planar cells get the sentinel C)."""
+    c = gh * gw
+    planar2 = planar.reshape(gh, gw)
+    # symmetric connectivity: growable in either direction across the shared edge
+    sym_l = (edges[0] | jnp.roll(edges[1], 1, axis=1)).at[:, 0].set(False)
+    sym_u = (edges[2] | jnp.roll(edges[3], 1, axis=0)).at[0, :].set(False)
+    sym_r = jnp.roll(sym_l, -1, axis=1).at[:, -1].set(False)
+    sym_d = jnp.roll(sym_u, -1, axis=0).at[-1, :].set(False)
+
+    big = jnp.asarray(c, jnp.int32)
+    lbl0 = jnp.where(planar2, jnp.arange(c, dtype=jnp.int32).reshape(gh, gw), big)
+
+    def prop(lbl):
+        nb = jnp.minimum(
+            jnp.minimum(jnp.where(sym_l, jnp.roll(lbl, 1, axis=1), big),
+                        jnp.where(sym_r, jnp.roll(lbl, -1, axis=1), big)),
+            jnp.minimum(jnp.where(sym_u, jnp.roll(lbl, 1, axis=0), big),
+                        jnp.where(sym_d, jnp.roll(lbl, -1, axis=0), big)))
+        return jnp.where(planar2, jnp.minimum(lbl, nb), big)
 
     def body(state):
-        active, _ = state
-        grow = (jnp.roll(active, (0, 1), (0, 1)) & edges[0]) \
-            | (jnp.roll(active, (0, -1), (0, 1)) & edges[1]) \
-            | (jnp.roll(active, (1, 0), (0, 1)) & edges[2]) \
-            | (jnp.roll(active, (-1, 0), (0, 1)) & edges[3])
-        new_active = active | (grow & avail)
-        return new_active, jnp.any(new_active != active)
+        lbl, _ = state
+        new = prop(prop(lbl))
+        # pointer jumping: labels are cell indices, so a cell may adopt its
+        # label's own label (reachability is transitive) — turns O(diameter)
+        # convergence into O(log diameter)
+        flat = jnp.concatenate([new.reshape(-1), big[None]])
+        new = jnp.minimum(new, flat[new.reshape(-1)].reshape(gh, gw))
+        new = jnp.minimum(new, flat[new.reshape(-1)].reshape(gh, gw))
+        return new, jnp.any(new != lbl)
 
-    active, _ = jax.lax.while_loop(lambda s: s[1], body,
-                                   (active0, jnp.asarray(True)))
-    return active.reshape(-1)
+    lbl, _ = jax.lax.while_loop(lambda s: s[1], body, (lbl0, jnp.asarray(True)))
+    return lbl.reshape(-1)
 
 
-def _histogram_top_bin(grid: CellGrid, available):
-    """Most-frequent polar-angle bin of available planar-cell normals (reference:
-    Histogram<20> binning over (acos(-nz), atan2(nx, ny)),
-    primitive_detection.cpp:239-265).  Returns (candidate_mask, count)."""
-    nx, ny, nz = grid.normal[..., 0], grid.normal[..., 1], grid.normal[..., 2]
+def _normal_bins(normals):
+    """Polar-angle histogram bin of each normal (reference: Histogram<20> binning
+    over (acos(-nz), atan2(nx, ny)), histogram.hpp:35-122)."""
+    nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
     proj = jnp.arccos(jnp.clip(-nz, -1.0, 1.0))
     ang = jnp.arctan2(nx, ny)
     bx = jnp.clip((proj / jnp.pi * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1)
     by = jnp.clip(((ang + jnp.pi) / (2 * jnp.pi) * HIST_BINS).astype(jnp.int32),
                   0, HIST_BINS - 1)
-    bins = bx * HIST_BINS + by
-    counts = jax.ops.segment_sum(available.astype(jnp.int32), bins,
-                                 num_segments=HIST_BINS * HIST_BINS)
-    top = jnp.argmax(counts)
-    return available & (bins == top), counts[top]
+    return bx * HIST_BINS + by
 
 
 # ---------------------------------------------------------------------------
@@ -345,68 +362,57 @@ def find_primitives(depth_mm, cam: CameraIntrinsics,
     seed_threshold = max(1, int(cfg.min_plane_seed_proportion * n_cells))
     min_activated = max(1, int(cfg.min_cell_activated_proportion * n_cells))
 
-    def seed_step(carry, _):
-        (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
-         c_axis, c_center, c_radius, c_mse, c_cellmask, c_num) = carry
+    # --- all grown regions at once: connected components of the mergeability
+    # graph (replaces the reference's sequential histogram-seed loop,
+    # primitive_detection.cpp:267-390 — each seed grows to exactly its component,
+    # so the K largest components ARE the seed loop's outputs, batched)
+    comp = _connected_components(edges, grid.planar, gh, gw)      # [C]
+    sizes = jax.ops.segment_sum(grid.planar.astype(jnp.int32), comp,
+                                num_segments=n_cells + 1)[:n_cells]
+    k_cand = MAX_PLANES + MAX_CYLINDERS
+    cand_sizes, cand_roots = jax.lax.top_k(sizes, k_cand)          # [K]
+    member = (comp[None, :] == cand_roots[:, None]) & (cand_sizes[:, None] > 0)
 
-        cand, cand_count = _histogram_top_bin(grid, available)
-        proceed = cand_count >= seed_threshold
+    cnt, mean, m2 = jax.vmap(
+        lambda msk: moments.combine(grid.count, grid.mean, grid.m2, msk))(member)
+    normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(cnt, mean, m2)
 
-        seed_idx = jnp.argmin(jnp.where(cand, grid.mse, jnp.inf))
-        active = _propagate_from_seed(seed_idx, edges, available, gh, gw)
-        active = active & grid.planar & available
-        activated = jnp.sum(active)
+    # histogram seed gate (parity with the top-bin >= seedCount loop condition,
+    # primitive_detection.cpp:278): the component's orientation bin must hold at
+    # least seed_threshold planar cells frame-wide
+    bins = _normal_bins(grid.normal)
+    bin_counts = jax.ops.segment_sum(grid.planar.astype(jnp.int32), bins,
+                                     num_segments=HIST_BINS * HIST_BINS)
+    cand_bins = _normal_bins(normal)
+    bin_gate = bin_counts[cand_bins] >= seed_threshold
 
-        cnt, mean, m2 = moments.combine(grid.count, grid.mean, grid.m2, active)
-        normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(cnt, mean, m2)
+    grown_ok = (cand_sizes >= min_activated) & bin_gate & fit_ok
 
-        grown_ok = proceed & (activated >= min_activated) & fit_ok
+    # plane-vs-cylinder model choice (primitive_detection.cpp:375-388, 437-476)
+    is_plane = grown_ok & (score > 100.0)
+    try_cyl = grown_ok & ~is_plane & (cand_sizes > 5)
+    cy_axis, cy_center, cy_r, cy_mse = jax.vmap(
+        lambda msk: _fit_cylinder(grid, msk))(member)
+    cyl_better = try_cyl & (cy_mse < mse)
+    accept_plane = is_plane | (try_cyl & ~cyl_better)
 
-        # plane-vs-cylinder model choice (primitive_detection.cpp:375-388, 437-476)
-        is_plane = grown_ok & (score > 100.0)
-        try_cyl = grown_ok & ~is_plane & (activated > 5)
-        cy_axis, cy_center, cy_r, cy_mse = _fit_cylinder(grid, active)
-        cyl_better = try_cyl & (cy_mse < mse) & (c_num < MAX_CYLINDERS)
-        plane_after_cyl = try_cyl & ~cyl_better
-        accept_plane = (is_plane | plane_after_cyl) & (p_num < MAX_PLANES)
+    def compact_to(cap, accept, *arrays):
+        """Scatter accepted candidates (size-ranked) into the first ``cap`` slots."""
+        rank = jnp.cumsum(accept.astype(jnp.int32)) - 1
+        dest = jnp.where(accept & (rank < cap), rank, cap)
+        num = jnp.minimum(jnp.sum(accept.astype(jnp.int32)), cap)
+        outs = []
+        for a, fill in arrays:
+            out = jnp.full((cap,) + a.shape[1:], fill, a.dtype)
+            outs.append(out.at[dest].set(a, mode="drop"))
+        return num, outs
 
-        slot = jnp.minimum(p_num, MAX_PLANES - 1)
-        p_cnt = jnp.where(accept_plane, p_cnt.at[slot].set(cnt), p_cnt)
-        p_mean = jnp.where(accept_plane, p_mean.at[slot].set(mean), p_mean)
-        p_m2 = jnp.where(accept_plane, p_m2.at[slot].set(m2), p_m2)
-        p_cellmask = jnp.where(accept_plane,
-                               p_cellmask.at[slot].set(active), p_cellmask)
-        p_num = p_num + accept_plane.astype(jnp.int32)
-
-        cslot = jnp.minimum(c_num, MAX_CYLINDERS - 1)
-        c_axis = jnp.where(cyl_better, c_axis.at[cslot].set(cy_axis), c_axis)
-        c_center = jnp.where(cyl_better, c_center.at[cslot].set(cy_center), c_center)
-        c_radius = jnp.where(cyl_better, c_radius.at[cslot].set(cy_r), c_radius)
-        c_mse = jnp.where(cyl_better, c_mse.at[cslot].set(cy_mse), c_mse)
-        c_cellmask = jnp.where(cyl_better, c_cellmask.at[cslot].set(active), c_cellmask)
-        c_num = c_num + cyl_better.astype(jnp.int32)
-
-        # consume cells: the grown region when accepted, else just the seed
-        # (histogram seed removal on failure, primitive_detection.cpp:363-368)
-        consumed = jnp.where(grown_ok, active,
-                             jnp.zeros_like(active).at[seed_idx].set(proceed))
-        available = available & ~consumed
-
-        return (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
-                c_axis, c_center, c_radius, c_mse, c_cellmask, c_num), None
-
-    init = (
-        grid.planar,
-        jnp.zeros((MAX_PLANES,), dt), jnp.zeros((MAX_PLANES, 3), dt),
-        jnp.zeros((MAX_PLANES, 3, 3), dt),
-        jnp.zeros((MAX_PLANES, n_cells), bool), jnp.asarray(0, jnp.int32),
-        jnp.zeros((MAX_CYLINDERS, 3), dt), jnp.zeros((MAX_CYLINDERS, 3), dt),
-        jnp.zeros((MAX_CYLINDERS,), dt), jnp.full((MAX_CYLINDERS,), jnp.inf, dt),
-        jnp.zeros((MAX_CYLINDERS, n_cells), bool), jnp.asarray(0, jnp.int32),
-    )
-    (available, p_cnt, p_mean, p_m2, p_cellmask, p_num,
-     c_axis, c_center, c_radius, c_mse, c_cellmask, c_num), _ = jax.lax.scan(
-        seed_step, init, None, length=MAX_SEED_ITERATIONS)
+    p_num, (p_cnt, p_mean, p_m2, p_cellmask) = compact_to(
+        MAX_PLANES, accept_plane,
+        (cnt, 0), (mean, 0), (m2, 0), (member, False))
+    c_num, (c_axis, c_center, c_radius, c_mse) = compact_to(
+        MAX_CYLINDERS, cyl_better,
+        (cy_axis, 0), (cy_center, 0), (cy_r, 0), (cy_mse, jnp.inf))
 
     plane_valid = jnp.arange(MAX_PLANES) < p_num
 
@@ -438,7 +444,12 @@ def find_primitives(depth_mm, cam: CameraIntrinsics,
 
 def _merge_planes(p_cnt, p_mean, p_m2, p_cellmask, plane_valid, gh, gw,
                   cos_max, max_dist):
-    """Pairwise merge of adjacent grown planes (primitive_detection.cpp:503-560)."""
+    """Merge adjacent co-planar grown planes (primitive_detection.cpp:503-560).
+
+    TPU design: instead of the reference's sequential pairwise scan over the
+    connected-components matrix, build the full mergeability matrix once, take its
+    transitive closure with log2(MAX_PLANES) boolean matmuls, and fold every merge
+    group onto its minimum-index representative with one masked moment combine."""
     cell_maps = p_cellmask.reshape(MAX_PLANES, gh, gw)
     right = jnp.roll(cell_maps, -1, axis=2).at[:, :, -1].set(False)
     below = jnp.roll(cell_maps, -1, axis=1).at[:, -1, :].set(False)
@@ -447,33 +458,24 @@ def _merge_planes(p_cnt, p_mean, p_m2, p_cellmask, plane_valid, gh, gw,
         overlap = jnp.einsum("ahw,bhw->ab", cell_maps.astype(jnp.float32),
                              shifted.astype(jnp.float32)) > 0
         adj = adj | overlap | overlap.T
-    adj = adj & ~jnp.eye(MAX_PLANES, dtype=bool)
 
-    def merge_pair(carry, idx):
-        p_cnt, p_mean, p_m2, p_cellmask, plane_valid = carry
-        i = idx // MAX_PLANES
-        j = idx % MAX_PLANES
-        do_check = (j > i) & adj[i, j] & plane_valid[i] & plane_valid[j]
+    n, d, cen, _, _, _ = fit_plane_from_moments(p_cnt, p_mean, p_m2)
+    cos_ij = n @ n.T
+    dist_ij = jnp.abs(jnp.einsum("ik,jk->ij", n, cen) + d[:, None])
+    ok = plane_valid[:, None] & plane_valid[None, :]
+    m = adj & ok & (cos_ij > cos_max) & ((dist_ij < max_dist) | (dist_ij.T < max_dist))
+    m = m | jnp.eye(MAX_PLANES, dtype=bool)
 
-        ni, di, _, _, _, _ = fit_plane_from_moments(p_cnt[i], p_mean[i], p_m2[i])
-        cos_ij_n, _, cj, _, _, _ = fit_plane_from_moments(p_cnt[j], p_mean[j], p_m2[j])
-        cos_ij = jnp.sum(ni * cos_ij_n)
-        dist = jnp.abs(jnp.sum(ni * cj) + di)
-        mergeable = do_check & (cos_ij > cos_max) & (dist < max_dist)
+    for _ in range(4):  # closure: path length doubles per squaring, 2^4 >= MAX_PLANES
+        m = (m.astype(jnp.float32) @ m.astype(jnp.float32)) > 0
+    root = jnp.argmax(m, axis=1)  # first connected index = representative
 
-        new_cnt, new_mean, new_m2 = moments.combine_pair(
-            p_cnt[i], p_mean[i], p_m2[i], p_cnt[j], p_mean[j], p_m2[j])
-        p_cnt = p_cnt.at[i].set(jnp.where(mergeable, new_cnt, p_cnt[i]))
-        p_mean = p_mean.at[i].set(jnp.where(mergeable, new_mean, p_mean[i]))
-        p_m2 = p_m2.at[i].set(jnp.where(mergeable, new_m2, p_m2[i]))
-        p_cellmask = p_cellmask.at[i].set(
-            p_cellmask[i] | (p_cellmask[j] & mergeable))
-        plane_valid = plane_valid.at[j].set(plane_valid[j] & ~mergeable)
-        return (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), None
-
-    idxs = jnp.arange(MAX_PLANES * MAX_PLANES)
-    (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), _ = jax.lax.scan(
-        merge_pair, (p_cnt, p_mean, p_m2, p_cellmask, plane_valid), idxs)
+    group = (root[None, :] == jnp.arange(MAX_PLANES)[:, None]) & plane_valid[None, :]
+    p_cnt, p_mean, p_m2 = jax.vmap(
+        lambda msk: moments.combine(p_cnt, p_mean, p_m2, msk))(group)
+    p_cellmask = jnp.einsum("gi,ic->gc", group.astype(jnp.float32),
+                            p_cellmask.astype(jnp.float32)) > 0
+    plane_valid = plane_valid & (root == jnp.arange(MAX_PLANES))
     return p_cnt, p_mean, p_m2, p_cellmask, plane_valid
 
 

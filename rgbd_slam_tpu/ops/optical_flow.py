@@ -80,11 +80,14 @@ def _lk_level(prev_img, next_img, pt_prev, guess, win_h: int, win_w: int,
 
 
 def _use_pallas_default():
-    # The Pallas per-level kernel (ops/pallas_lk.py) is ~1.5x faster in steady state
-    # on TPU (11.7ms vs 17.1ms for 128 points) but its Mosaic lowering adds minutes
-    # to each cold engine compile (one kernel instance per pyramid-level shape), so
-    # the XLA formulation is the default; opt in with use_pallas=True.
-    return False
+    # On TPU the full-pyramid Pallas kernel (ops/pallas_lk.py) runs the whole
+    # level x iteration loop in ONE launch with VMEM-resident images — far faster
+    # than the ~50 sequential gather rounds of the XLA formulation.  Its Mosaic
+    # compile is slow; enable the persistent compilation cache
+    # (utils.compile_cache.enable) so it is paid once per machine.
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
@@ -104,25 +107,15 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
         use_pallas = _use_pallas_default()
 
     if use_pallas:
-        from .pallas_lk import lk_level_pallas
+        from .pallas_lk import lk_pyramid_pallas
 
-        g = jnp.zeros_like(points)
-        ok_all = points_valid
-        for lvl in range(levels, -1, -1):
-            lh, lw = prev_pyramid[lvl].shape
-            wh = min(win_h, lh - 3)
-            ww = min(win_w, lw - 3)
-            pts_l = points * (0.5 ** lvl)
-            g, ok = lk_level_pallas(prev_pyramid[lvl], next_pyramid[lvl],
-                                    pts_l, g, points_valid,
-                                    win_h=wh, win_w=ww, iterations=iterations,
-                                    eps=eps)
-            ok_all = ok_all & ok
-            if lvl > 0:
-                g = g * 2.0
-        new_pts = points + g
+        flow, ok = lk_pyramid_pallas(
+            list(prev_pyramid), list(next_pyramid), points, points_valid,
+            levels=levels, win_h=win_h, win_w=win_w, iterations=iterations,
+            eps=eps)
+        new_pts = points + flow
         h, w = prev_pyramid[0].shape
-        status = ok_all & in_border(new_pts, h, w, margin=1.0) \
+        status = ok & in_border(new_pts, h, w, margin=1.0) \
             & jnp.all(jnp.isfinite(new_pts), axis=-1)
         return jnp.where(status[:, None], new_pts, points), status
 

@@ -1,13 +1,17 @@
-"""Pallas TPU kernel for pyramidal Lucas-Kanade iteration.
+"""Pallas TPU kernels for pyramidal Lucas-Kanade iteration.
 
 The XLA formulation of LK (ops/optical_flow.py) runs ~100 sequential HLO steps of
-vmapped dynamic slices — far from roofline on TPU.  This kernel keeps BOTH pyramid
-level images resident in VMEM and runs the entire per-point iteration loop inside one
-program: one grid step per point; per-point coordinates ride in SMEM via scalar
-prefetch; window slices and reductions never leave VMEM.
+vmapped dynamic slices — far from roofline on TPU.  Two kernels live here:
 
-Used for the per-level solve; the pyramid loop and forward-backward logic stay in
-optical_flow.py (same API).
+* :func:`lk_pyramid_pallas` — the production path: ONE kernel per tracking
+  direction runs the ENTIRE pyramid (all levels x all iterations) with every
+  pyramid level resident in VMEM.  Window reads slice an aligned 256-lane slab
+  and rotate within it, so the per-sample cost is independent of image width.
+* :func:`lk_level_pallas` — the original single-level kernel, kept for
+  level-by-level testing.
+
+Per-point coordinates ride in SMEM via scalar prefetch; window slices and
+reductions never leave VMEM.
 """
 
 from __future__ import annotations
@@ -91,6 +95,149 @@ def _lk_kernel(pts_ref, guess_ref, valid_ref, prev_ref, next_ref,
     # vector stores (scalar stores to VMEM are not supported)
     out_g_ref[pl.ds(i, 1), :] = jnp.stack([gx, gy]).reshape(1, 2)
     out_ok_ref[pl.ds(i, 1), :] = ok.astype(jnp.int32).reshape(1, 1)
+
+
+_SLAB = 256  # aligned lane slab: window width + worst-case 128 misalignment
+
+
+def _pad_level(img):
+    """Pad a pyramid level to Mosaic-friendly (8k+8, 128k) with edge values."""
+    lh, lw = img.shape
+    ph = -(-lh // 8) * 8 + 8
+    pw = max(-(-lw // 128) * 128, _SLAB)
+    return jnp.pad(img, ((0, ph - lh), (0, pw - lw)), mode="edge")
+
+
+def _sample_slab(ref, x, y, h: int, w: int, lh: int, lw: int):
+    """Bilinear [h, w] window with float top-left (x, y) from a VMEM image ref.
+
+    Loads one (8-aligned sublane) x (128-aligned lane) slab covering the window
+    and rotates it into place — per-sample cost is O(slab), not O(image width)."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    xi = jnp.clip(x0.astype(jnp.int32), 0, lw - (w + 1))
+    yi = jnp.clip(y0.astype(jnp.int32), 0, lh - (h + 1))
+    hs = -(-(h + 9) // 8) * 8
+    yi_al = jnp.clip((yi // 8) * 8, 0, (ref.shape[0] - hs) // 8 * 8)
+    yi_al = pl.multiple_of(yi_al, 8)
+    xi_al = jnp.clip((xi // 128) * 128, 0, ref.shape[1] - _SLAB)
+    xi_al = pl.multiple_of(xi_al, 128)
+    slab = ref[pl.ds(yi_al, hs), pl.ds(xi_al, _SLAB)]
+    slab = pltpu.roll(slab, -(yi - yi_al), axis=0)
+    slab = pltpu.roll(slab, -(xi - xi_al), axis=1)
+    p = slab[:h + 1, :w + 1]
+    return ((1 - fy) * ((1 - fx) * p[:h, :w] + fx * p[:h, 1:w + 1])
+            + fy * ((1 - fx) * p[1:h + 1, :w] + fx * p[1:h + 1, 1:w + 1]))
+
+
+def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
+                       wins: tuple, iterations: int, eps: float):
+    """Track one point through every pyramid level (grid = one step per point).
+
+    ``refs`` = prev levels [0..levels], next levels [0..levels], then the two
+    output refs (flow [N, 2], ok [N, 1])."""
+    prev_refs = refs[:levels + 1]
+    next_refs = refs[levels + 1:2 * levels + 2]
+    out_g_ref, out_ok_ref = refs[2 * levels + 2], refs[2 * levels + 3]
+
+    i = pl.program_id(0)
+    px = pts_ref[i, 0]
+    py = pts_ref[i, 1]
+    valid = valid_ref[i] > 0
+
+    gx = jnp.float32(0.0)
+    gy = jnp.float32(0.0)
+    ok = valid
+
+    for lvl in range(levels, -1, -1):
+        lh, lw = dims[lvl]
+        wh, ww = wins[lvl]
+        scale = jnp.float32(0.5 ** lvl)
+        tlx = jnp.clip(px * scale - (ww - 1) / 2.0, 2.0, lw - ww - 3.0)
+        tly = jnp.clip(py * scale - (wh - 1) / 2.0, 2.0, lh - wh - 3.0)
+
+        tp = _sample_slab(prev_refs[lvl], tlx - 1.0, tly - 1.0,
+                          wh + 2, ww + 2, lh, lw)
+        t = tp[1:-1, 1:-1]
+        ix = 0.5 * (tp[1:-1, 2:] - tp[1:-1, :-2])
+        iy = 0.5 * (tp[2:, 1:-1] - tp[:-2, 1:-1])
+        gxx = jnp.sum(ix * ix)
+        gxy = jnp.sum(ix * iy)
+        gyy = jnp.sum(iy * iy)
+        det = gxx * gyy - gxy * gxy
+        lvl_ok = (det > 1e-6) & valid
+        ok = ok & lvl_ok
+        inv_det = jnp.where(lvl_ok, 1.0 / jnp.where(lvl_ok, det, 1.0), 0.0)
+
+        def body(carry, tlx=tlx, tly=tly, t=t, ix=ix, iy=iy, gxx=gxx,
+                 gxy=gxy, gyy=gyy, inv_det=inv_det, nref=next_refs[lvl],
+                 wh=wh, ww=ww, lh=lh, lw=lw):
+            it, cgx, cgy, done = carry
+            j = _sample_slab(nref, tlx + cgx, tly + cgy, wh, ww, lh, lw)
+            diff = t - j
+            bx = jnp.sum(ix * diff)
+            by = jnp.sum(iy * diff)
+            dx = (gyy * bx - gxy * by) * inv_det
+            dy = (gxx * by - gxy * bx) * inv_det
+            done = done | (dx * dx + dy * dy < eps * eps)
+            return it + 1, cgx + dx, cgy + dy, done
+
+        # true early exit: converged points stop sampling (the XLA path can only
+        # mask lockstep iterations; here each grid step is one point, so its
+        # while_loop really terminates)
+        _, gx, gy, _ = jax.lax.while_loop(
+            lambda c: (c[0] < iterations) & jnp.logical_not(c[3]),
+            body, (jnp.int32(0), gx, gy, jnp.logical_not(lvl_ok)))
+        if lvl > 0:
+            gx = gx * 2.0
+            gy = gy * 2.0
+
+    out_g_ref[pl.ds(i, 1), :] = jnp.stack([gx, gy]).reshape(1, 2)
+    out_ok_ref[pl.ds(i, 1), :] = ok.astype(jnp.int32).reshape(1, 1)
+
+
+@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
+                                   "eps", "interpret"))
+def lk_pyramid_pallas(prev_pyramid, next_pyramid, points, valid,
+                      levels: int = 4, win_h: int = 53, win_w: int = 53,
+                      iterations: int = 10, eps: float = 0.03,
+                      interpret: bool = False):
+    """Full pyramidal LK for all points in ONE kernel launch.
+
+    ``prev_pyramid``/``next_pyramid``: lists of >= levels+1 images (level 0 first).
+    Returns (flow [N, 2] displacement at level 0, ok [N] bool)."""
+    n = points.shape[0]
+    dims = tuple((int(p.shape[0]), int(p.shape[1]))
+                 for p in prev_pyramid[:levels + 1])
+    wins = tuple((min(win_h, lh - 8), min(win_w, lw - 8)) for lh, lw in dims)
+    prev_pad = [_pad_level(p) for p in prev_pyramid[:levels + 1]]
+    next_pad = [_pad_level(p) for p in next_pyramid[:levels + 1]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # points, valid in SMEM
+        grid=(n,),
+        in_specs=[pl.BlockSpec(img.shape, lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for img in prev_pad + next_pad],
+        out_specs=[
+            pl.BlockSpec((n, 2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    out_g, out_ok = pl.pallas_call(
+        partial(_lk_pyramid_kernel, levels=levels, dims=dims, wins=wins,
+                iterations=iterations, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(points.astype(jnp.float32), valid.astype(jnp.int32),
+      *prev_pad, *next_pad)
+    return out_g, out_ok[:, 0] > 0
 
 
 @partial(jax.jit, static_argnames=("win_h", "win_w", "iterations", "eps",

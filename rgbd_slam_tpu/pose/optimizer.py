@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from ..config import CameraIntrinsics, EngineConfig, RansacConfig
 from ..geometry import se3
 from .features import MatchedFeatures
-from .residuals import inlier_masks, random_variation, residual_vector
+from .residuals import (inlier_masks_prepared, prepare_features, random_variation,
+                        residual_vector_prepared)
 
 
 class PoseOptimizationResult(NamedTuple):
@@ -45,39 +46,51 @@ class PoseOptimizationResult(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def lm_solve(coeffs0, feats: MatchedFeatures, cam: CameraIntrinsics,
-             weights=None, iterations: int = 16, damping0: float = 1e-3):
+             weights=None, iterations: int = 8, damping0: float = 1e-3):
     """Fixed-iteration damped least squares on the 6-dof pose coefficients.
 
-    Classic LM accept/reject schedule expressed as a ``lax.scan``: each iteration
-    computes J via jacfwd, solves the damped normal equations, and keeps the step only
-    if the cost decreased (damping /2 on accept, x4 on reject).  Returns
-    (coeffs, final_cost)."""
+    Classic LM accept/reject expressed as a ``lax.scan`` with DEFERRED evaluation:
+    each iteration linearizes the residual ONCE at the pending trial point (primal +
+    6 tangent passes via ``jax.linearize``), folds the trial into the running best
+    if its cost decreased (damping /2 on accept, x4 on reject), and emits the next
+    trial from the best point's cached normal equations.  One residual evaluation
+    per iteration replaces the jacfwd + primal + trial-cost triple of the naive
+    schedule — the LM sequential chain is the latency-critical path of the frame.
+    Returns (coeffs, final_cost)."""
+    dt = coeffs0.dtype
+    if weights is not None:
+        wp, wq, wk = feats.split_unified(weights)
+        feats = feats.with_masks(wp > 0, wq > 0, wk > 0)
+    prep = prepare_features(feats, cam)  # pose-independent, hoisted out of the scan
+    res_fn = lambda c: residual_vector_prepared(c, prep, cam)  # noqa: E731
 
-    def cost_of(c):
-        r = residual_vector(c, feats, cam, weights)
-        return jnp.sum(r * r), r
+    def res_and_jac(c):
+        r, jvp = jax.linearize(res_fn, c)
+        jac = jax.vmap(jvp, out_axes=-1)(jnp.eye(6, dtype=dt))
+        return r, jac
 
     def step(carry, _):
-        coeffs, damping, cost = carry
-        jac = jax.jacfwd(lambda c: residual_vector(c, feats, cam, weights))(coeffs)
-        r = residual_vector(coeffs, feats, cam, weights)
-        jtj = jac.T @ jac
-        g = jac.T @ r
-        a = jtj + damping * jnp.diag(jnp.maximum(jnp.diagonal(jtj), 1e-8))
-        delta = jnp.linalg.solve(a + 1e-12 * jnp.eye(6, dtype=coeffs.dtype), -g)
-        new_coeffs = coeffs + delta
-        new_cost, _ = cost_of(new_coeffs)
-        accept = (new_cost < cost) & jnp.all(jnp.isfinite(new_coeffs))
-        coeffs = jnp.where(accept, new_coeffs, coeffs)
-        cost = jnp.where(accept, new_cost, cost)
-        damping = jnp.where(accept, damping * 0.5, damping * 4.0)
-        damping = jnp.clip(damping, 1e-9, 1e6)
-        return (coeffs, damping, cost), None
+        best_c, best_cost, jtj, g, trial, damping = carry
+        r_t, jac_t = res_and_jac(trial)
+        cost_t = jnp.sum(r_t * r_t)
+        accept = (cost_t < best_cost) & jnp.all(jnp.isfinite(trial))
+        best_c = jnp.where(accept, trial, best_c)
+        best_cost = jnp.where(accept, cost_t, best_cost)
+        jtj = jnp.where(accept, jac_t.T @ jac_t, jtj)
+        g = jnp.where(accept, jac_t.T @ r_t, g)
+        damping = jnp.clip(jnp.where(accept, damping * 0.5, damping * 4.0),
+                           1e-9, 1e6)
+        a = jtj + damping * jnp.diag(jnp.maximum(jnp.diagonal(jtj), 1e-8)) \
+            + 1e-12 * jnp.eye(6, dtype=dt)
+        delta = jnp.linalg.solve(a, -g)
+        return (best_c, best_cost, jtj, g, best_c + delta, damping), None
 
-    cost0, _ = cost_of(coeffs0)
-    (coeffs, _, cost), _ = jax.lax.scan(
-        step, (coeffs0, jnp.asarray(damping0, coeffs0.dtype), cost0), None,
-        length=iterations)
+    init = (coeffs0, jnp.asarray(jnp.inf, dt), jnp.eye(6, dtype=dt),
+            jnp.zeros(6, dt), coeffs0, jnp.asarray(damping0, dt))
+    # unroll=2: the LM chain sits on the frame's latency-critical path and the body
+    # is tiny, so halving loop dispatches helps; full unroll explodes compile time
+    (coeffs, cost, *_), _ = jax.lax.scan(step, init, None, length=iterations,
+                                         unroll=2)
     return coeffs, cost
 
 
@@ -85,26 +98,28 @@ def lm_solve(coeffs0, feats: MatchedFeatures, cam: CameraIntrinsics,
 # RANSAC
 # ---------------------------------------------------------------------------
 
+#: unified-subset draw size: any score-1.0 prefix fits in 8 draws
+#: (5 points x 0.2, 5 2d-points x 0.2, 3 planes x 1/3, or a crossing mix)
+_SUBSET_DRAW = 8
+
+
 def _draw_subsets(key, scores, valid, batch: int):
     """Draw ``batch`` random subsets over the unified feature index space, each taken
     in random order until the cumulative score reaches 1.0 (reference:
     ransac::get_random_subset_with_score, ransac.hpp:78-131).
 
-    Returns a float weight matrix [batch, F] with 1.0 for selected features."""
+    TPU design: a full [batch, F] argsort is the most expensive op of the RANSAC
+    setup; since no score-1.0 prefix is longer than ``_SUBSET_DRAW``, ``top_k`` over
+    random priorities draws the prefix directly.  Returns (indices [batch, S] into
+    the unified space, selected [batch, S] mask)."""
     f = scores.shape[-1]
     priorities = jax.random.uniform(key, (batch, f))
-    priorities = jnp.where(valid[None, :], priorities, 2.0)  # invalid sort last
-    order = jnp.argsort(priorities, axis=-1)
-    sorted_scores = jnp.take_along_axis(
-        jnp.broadcast_to(scores, (batch, f)), order, axis=-1)
-    csum = jnp.cumsum(sorted_scores, axis=-1)
-    # take features up to and including the one that crosses score 1.0
-    selected_sorted = (csum - sorted_scores) < 1.0
-    selected_sorted = selected_sorted & (sorted_scores > 0)
-    weights = jnp.zeros((batch, f), dtype=scores.dtype)
-    batch_idx = jnp.broadcast_to(jnp.arange(batch)[:, None], (batch, f))
-    weights = weights.at[batch_idx, order].set(selected_sorted.astype(scores.dtype))
-    return weights
+    priorities = jnp.where(valid[None, :], priorities, -1.0)  # invalid drawn last
+    _, idx = jax.lax.top_k(priorities, _SUBSET_DRAW)           # [batch, S]
+    sub_scores = scores[idx] * valid[idx]
+    csum = jnp.cumsum(sub_scores, axis=-1)
+    selected = ((csum - sub_scores) < 1.0) & (sub_scores > 0)
+    return idx, selected
 
 
 #: compact per-hypothesis subset capacities: any score-1.0 subset fits
@@ -112,25 +127,25 @@ def _draw_subsets(key, scores, valid, batch: int):
 _SUBSET_CAPS = (6, 6, 3)
 
 
-def _compact_subset(feats: MatchedFeatures, sel_unified) -> MatchedFeatures:
-    """Gather one hypothesis' selected features into small fixed-capacity blocks so
-    the per-hypothesis LM solves a ~30-row system instead of the full map-capacity
-    residual stack."""
+def _compact_subset(feats: MatchedFeatures, idx, sel) -> MatchedFeatures:
+    """Gather one hypothesis' drawn features (unified indices ``idx`` [S], selection
+    mask ``sel`` [S]) into small fixed-capacity blocks so the per-hypothesis LM
+    solves a ~30-row system instead of the full map-capacity residual stack."""
     np_, n2, nk = feats.capacities
     cp, c2, ck = _SUBSET_CAPS
 
-    def compact_idx(mask, cap):
-        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-        dest = jnp.where(mask & (rank < cap), rank, cap)
-        idx = jnp.full((cap,), 0, jnp.int32).at[dest].set(
-            jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop")
-        cnt = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
-        return idx, jnp.arange(cap) < cnt
+    def compact_idx(type_mask, local_idx, cap):
+        m = sel & type_mask
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        dest = jnp.where(m & (rank < cap), rank, cap)
+        out = jnp.zeros((cap,), jnp.int32).at[dest].set(
+            local_idx.astype(jnp.int32), mode="drop")
+        cnt = jnp.minimum(jnp.sum(m.astype(jnp.int32)), cap)
+        return out, jnp.arange(cap) < cnt
 
-    sp, s2, sk = feats.split_unified(sel_unified)
-    ip, mp_ = compact_idx(sp, cp)
-    i2, m2_ = compact_idx(s2, c2)
-    ik, mk_ = compact_idx(sk, ck)
+    ip, mp_ = compact_idx(idx < np_, idx, cp)
+    i2, m2_ = compact_idx((idx >= np_) & (idx < np_ + n2), idx - np_, c2)
+    ik, mk_ = compact_idx(idx >= np_ + n2, idx - np_ - n2, ck)
 
     return MatchedFeatures(
         point_obs_uv=feats.point_obs_uv[ip], point_world=feats.point_world[ip],
@@ -142,11 +157,11 @@ def _compact_subset(feats: MatchedFeatures, sel_unified) -> MatchedFeatures:
     )
 
 
-def _score_pose(coeffs, feats, cam, ransac_cfg):
+def _score_pose(coeffs, prep, cam, ransac_cfg):
     from .features import PLANE_SCORE, POINT2D_SCORE, POINT_SCORE
 
     quat, position = se3.coefficients_to_pose(coeffs)
-    p_in, q_in, k_in = inlier_masks(quat, position, feats, cam, ransac_cfg)
+    p_in, q_in, k_in = inlier_masks_prepared(quat, position, prep, cam, ransac_cfg)
     score = (POINT_SCORE * jnp.sum(p_in) + POINT2D_SCORE * jnp.sum(q_in)
              + PLANE_SCORE * jnp.sum(k_in))
     count = jnp.sum(p_in) + jnp.sum(q_in) + jnp.sum(k_in)
@@ -170,13 +185,13 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
 
     b = engine_cfg.ransac_hypothesis_batch
     k_subsets, k_p3p, k_cov = jax.random.split(key, 3)
-    weights = _draw_subsets(k_subsets, scores, valid, b)
+    sub_idx, sub_sel = _draw_subsets(k_subsets, scores, valid, b)
 
     # batched LM on each hypothesis subset (replaces pose_optimization.cpp:154-226);
     # each subset is compacted to a ~30-row system before the solve
     hyp_coeffs, _ = jax.vmap(
-        lambda w: lm_solve(coeffs0, _compact_subset(feats, w > 0), cam,
-                           iterations=engine_cfg.lm_iterations))(weights)
+        lambda i, s: lm_solve(coeffs0, _compact_subset(feats, i, s), cam,
+                              iterations=engine_cfg.lm_iterations))(sub_idx, sub_sel)
 
     # closed-form P3P hypotheses from random 3-point minimal subsets
     # (north-star batched P3P-RANSAC; the reference only vendors the solver)
@@ -205,8 +220,9 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
     else:
         hyp_ok = jnp.ones((b,), bool)
 
+    prep_all = prepare_features(feats, cam)  # shared by every pose scoring below
     hyp_scores, hyp_counts = jax.vmap(
-        lambda c: _score_pose(c, feats, cam, ransac_cfg)[:2])(hyp_coeffs)
+        lambda c: _score_pose(c, prep_all, cam, ransac_cfg)[:2])(hyp_coeffs)
     hyp_scores = jnp.where(hyp_ok, hyp_scores, -1.0)
 
     # best hypothesis: max score, ties by inlier count
@@ -218,14 +234,14 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
 
     # inliers of the best hypothesis, final refit on them
     # (pose_optimization.cpp:244-254)
-    _, _, (p_in, q_in, k_in) = _score_pose(best_coeffs, feats, cam, ransac_cfg)
+    _, _, (p_in, q_in, k_in) = _score_pose(best_coeffs, prep_all, cam, ransac_cfg)
     inlier_feats = feats.with_masks(p_in, q_in, k_in)
     final_coeffs, _ = lm_solve(best_coeffs, inlier_feats, cam,
                                iterations=engine_cfg.lm_iterations)
 
     # re-evaluate inliers at the final pose
     final_score, _, (p_in2, q_in2, k_in2) = _score_pose(
-        final_coeffs, feats, cam, ransac_cfg)
+        final_coeffs, prep_all, cam, ransac_cfg)
     success = enough & (best_score >= 1.0) & (final_score >= 1.0) \
         & jnp.all(jnp.isfinite(final_coeffs))
 

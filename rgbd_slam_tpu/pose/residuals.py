@@ -11,16 +11,86 @@ SURVEY.md §7.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, RansacConfig
 from ..geometry import inverse_depth as idp
-from ..geometry import pinhole, planes, se3
+from ..geometry import lines, pinhole, planes, se3
 from .features import (PLANE_ALPHA, POINT2D_ALPHA, POINT_ALPHA, MatchedFeatures)
 
 #: residual magnitude assigned to invalid projections (reference uses
 #: double::max, point_coordinates.cpp:257; we keep it finite for f32 cost sums)
 BIG_RESIDUAL = 1.0e4
+
+
+class PreparedFeatures(NamedTuple):
+    """Pose-independent precomputation of a MatchedFeatures set.
+
+    The inverse-depth features' +-3 sigma world-space segment endpoints
+    (inverse_depth_coordinates.cpp:142-154) depend only on the feature state, not
+    on the pose being optimized, so they are resolved ONCE per LM solve; every LM
+    iteration then projects a single stacked [NP + 2*N2, 3] world-point array with
+    one matmul instead of re-deriving the bearing trigonometry.  This keeps the
+    sequential LM chain — the latency-critical path of the frame — to a minimal op
+    count on TPU."""
+
+    pts_world: jnp.ndarray       # [NP + 2*N2, 3]: points, far endpoints, near endpoints
+    point_obs_uv: jnp.ndarray
+    point_mask: jnp.ndarray
+    point2d_obs_uv: jnp.ndarray
+    point2d_mask: jnp.ndarray
+    plane_world: jnp.ndarray
+    plane_cam: jnp.ndarray
+    plane_mask: jnp.ndarray
+
+
+def prepare_features(feats: MatchedFeatures, cam: CameraIntrinsics = None
+                     ) -> PreparedFeatures:
+    """Resolve every pose-independent quantity of the residual evaluation."""
+    rho_std = feats.point2d_state_std[..., idp.INVERSE_DEPTH_IDX]
+    far, near = idp.estimation_bounds(feats.point2d_state, rho_std)
+    pts = jnp.concatenate([feats.point_world, far, near], axis=-2)
+    return PreparedFeatures(
+        pts_world=pts,
+        point_obs_uv=feats.point_obs_uv, point_mask=feats.point_mask,
+        point2d_obs_uv=feats.point2d_obs_uv, point2d_mask=feats.point2d_mask,
+        plane_world=feats.plane_world, plane_cam=feats.plane_cam,
+        plane_mask=feats.plane_mask)
+
+
+def residual_vector_prepared(coeffs, prep: PreparedFeatures, cam: CameraIntrinsics):
+    """Stacked residual vector from a prepared feature set (see
+    :func:`residual_vector` for semantics)."""
+    quat, position = se3.coefficients_to_pose(coeffs)
+    w2c = se3.world_to_camera(quat, position)
+    scr, ok = pinhole.world_to_screen(prep.pts_world, w2c, cam)
+
+    np_ = prep.point_mask.shape[-1]
+    n2 = prep.point2d_mask.shape[-1]
+
+    dp = jnp.where(ok[:np_, None], prep.point_obs_uv - scr[:np_, :2], BIG_RESIDUAL)
+    rp = jnp.where(prep.point_mask[..., None], dp, 0.0) * (POINT_ALPHA / 2.0)
+
+    p0 = scr[np_:np_ + n2, :2]
+    p1 = scr[np_ + n2:, :2]
+    sok = ok[np_:np_ + n2] & ok[np_ + n2:]
+    seg_len_sq = jnp.sum((p1 - p0) ** 2, axis=-1)
+    line_d = lines.segment_signed_distance_to_point(p0, p1, prep.point2d_obs_uv)
+    point_d = prep.point2d_obs_uv - p0
+    dq = jnp.where((seg_len_sq < 1e-12)[..., None], point_d, line_d)
+    dq = jnp.where(sok[..., None], dq, BIG_RESIDUAL)
+    rq = jnp.where(prep.point2d_mask[..., None], dq, 0.0) * (POINT2D_ALPHA / 2.0)
+
+    plane_w2c = se3.plane_world_to_camera_matrix(w2c)
+    dk = planes.reduced_signed_distance(prep.plane_world, prep.plane_cam, plane_w2c)
+    rk = jnp.where(prep.plane_mask[..., None], dk, 0.0) * (PLANE_ALPHA / 3.0)
+
+    return jnp.concatenate(
+        [rp.reshape(rp.shape[:-2] + (-1,)),
+         rq.reshape(rq.shape[:-2] + (-1,)),
+         rk.reshape(rk.shape[:-2] + (-1,))], axis=-1)
 
 
 def point_residuals(feats: MatchedFeatures, w2c, cam: CameraIntrinsics):
@@ -57,51 +127,55 @@ def residual_vector(coeffs, feats: MatchedFeatures, cam: CameraIntrinsics,
     cost assembly (Global_Pose_Estimator::operator(), levenberg_marquardt_functors.cpp
     :128-169).  ``weights`` (unified index space) selects the RANSAC subset; masked or
     unselected features contribute zero residual."""
-    quat, position = se3.coefficients_to_pose(coeffs)
-    w2c = se3.world_to_camera(quat, position)
-
-    rp = point_residuals(feats, w2c, cam) * (POINT_ALPHA / 2.0)
-    rq = point2d_residuals(feats, w2c, cam) * (POINT2D_ALPHA / 2.0)
-    rk = plane_residuals(feats, w2c) * (PLANE_ALPHA / 3.0)
-
     if weights is not None:
         wp, wq, wk = feats.split_unified(weights)
-        rp = rp * wp[..., None]
-        rq = rq * wq[..., None]
-        rk = rk * wk[..., None]
+        feats = feats.with_masks(wp > 0, wq > 0, wk > 0)
+    return residual_vector_prepared(coeffs, prepare_features(feats, cam), cam)
 
-    return jnp.concatenate(
-        [rp.reshape(rp.shape[:-2] + (-1,)),
-         rq.reshape(rq.shape[:-2] + (-1,)),
-         rk.reshape(rk.shape[:-2] + (-1,))], axis=-1)
+
+def inlier_masks_prepared(quat, position, prep: PreparedFeatures,
+                          cam: CameraIntrinsics,
+                          ransac: RansacConfig = RansacConfig()):
+    """Per-type inlier masks at a given pose from a prepared feature set (reference
+    per-type ``is_inlier``: map_point.cpp:34-38 L1 px <= 3; map_point2d.cpp:33-38
+    per-component <= 3; map_primitive.cpp:33-49 4-vector abs <= [0.2,0.2,0.2,50])."""
+    w2c = se3.world_to_camera(quat, position)
+    scr, ok = pinhole.world_to_screen(prep.pts_world, w2c, cam)
+    np_ = prep.point_mask.shape[-1]
+    n2 = prep.point2d_mask.shape[-1]
+
+    dp = jnp.where(ok[:np_, None], prep.point_obs_uv - scr[:np_, :2], BIG_RESIDUAL)
+    d_pt = jnp.sum(jnp.abs(dp), axis=-1)  # L1 px, point_coordinates.cpp:262-278
+    point_in = (d_pt <= ransac.max_retroprojection_error_point_px) & prep.point_mask
+
+    p0 = scr[np_:np_ + n2, :2]
+    p1 = scr[np_ + n2:, :2]
+    sok = ok[np_:np_ + n2] & ok[np_ + n2:]
+    seg_len_sq = jnp.sum((p1 - p0) ** 2, axis=-1)
+    line_d = lines.segment_signed_distance_to_point(p0, p1, prep.point2d_obs_uv)
+    point_d = prep.point2d_obs_uv - p0
+    d_2d = jnp.where((seg_len_sq < 1e-12)[..., None], point_d, line_d)
+    d_2d = jnp.where(sok[..., None], d_2d, BIG_RESIDUAL)
+    point2d_in = jnp.all(
+        jnp.abs(d_2d) <= ransac.max_retroprojection_error_point2d_px, axis=-1
+    ) & prep.point2d_mask
+
+    plane_w2c = se3.plane_world_to_camera_matrix(w2c)
+    d_pl = jnp.abs(planes.signed_distance(prep.plane_world, prep.plane_cam, plane_w2c))
+    thresholds = jnp.asarray(
+        [ransac.max_retroprojection_error_plane_normal] * 3
+        + [ransac.max_retroprojection_error_plane_mm], dtype=d_pl.dtype)
+    plane_in = jnp.all(d_pl <= thresholds, axis=-1) & prep.plane_mask
+
+    return point_in, point2d_in, plane_in
 
 
 def inlier_masks(quat, position, feats: MatchedFeatures, cam: CameraIntrinsics,
                  ransac: RansacConfig = RansacConfig()):
-    """Per-type inlier masks at a given pose (reference per-type ``is_inlier``:
-    map_point.cpp:34-38 L1 px <= 3; map_point2d.cpp:33-38 per-component <= 3;
-    map_primitive.cpp:33-49 4-vector abs <= [0.2,0.2,0.2,50])."""
-    w2c = se3.world_to_camera(quat, position)
-
-    d_pt = pinhole.screen_distance_px(
-        feats.point_world, feats.point_obs_uv, w2c, cam, big=BIG_RESIDUAL)
-    point_in = (d_pt <= ransac.max_retroprojection_error_point_px) & feats.point_mask
-
-    rho_var = feats.point2d_state_std[..., idp.INVERSE_DEPTH_IDX] ** 2
-    d_2d = idp.signed_screen_distance(
-        feats.point2d_state, rho_var, feats.point2d_obs_uv, w2c, cam, big=BIG_RESIDUAL)
-    point2d_in = jnp.all(
-        jnp.abs(d_2d) <= ransac.max_retroprojection_error_point2d_px, axis=-1
-    ) & feats.point2d_mask
-
-    plane_w2c = se3.plane_world_to_camera_matrix(w2c)
-    d_pl = jnp.abs(planes.signed_distance(feats.plane_world, feats.plane_cam, plane_w2c))
-    thresholds = jnp.asarray(
-        [ransac.max_retroprojection_error_plane_normal] * 3
-        + [ransac.max_retroprojection_error_plane_mm], dtype=d_pl.dtype)
-    plane_in = jnp.all(d_pl <= thresholds, axis=-1) & feats.plane_mask
-
-    return point_in, point2d_in, plane_in
+    """Per-type inlier masks at a given pose (wrapper over
+    :func:`inlier_masks_prepared`)."""
+    return inlier_masks_prepared(quat, position, prepare_features(feats, cam),
+                                 cam, ransac)
 
 
 def random_variation(feats: MatchedFeatures, key) -> MatchedFeatures:
