@@ -248,10 +248,13 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     n_det = det_xy.shape[0]
     det_taken = jnp.zeros_like(det_valid)
 
+    # Hamming + screen distances are identical across the local/staged/advanced
+    # passes (only masks and radius change) — compute them once
+    ham3, dsq3 = matching.match_precompute(pts.desc, proj3[:, :2], det_desc, det_xy)
+
     def match_pass(mask, taken, radius):
-        idx, dist = matching.match_descriptors(
-            pts.desc, proj3[:, :2], mask,
-            det_desc, det_xy, det_valid, taken,
+        idx, dist = matching.match_from_distances(
+            ham3, dsq3, mask, det_valid, taken,
             search_radius=radius,
             lowe_ratio=cfg.matching.max_match_distance)
         idx = matching.resolve_match_conflicts(idx, dist, n_det)

@@ -35,38 +35,61 @@ def _shifted_stack(img):
     return jnp.stack(outs, axis=0)
 
 
+def _pack_bits(bools):
+    """[16, H, W] bool -> [H, W] uint32 bitmask (VPU shifts + one reduce; an MXU
+    matmul formulation is slower here — M=1 starves the systolic array)."""
+    n = bools.shape[0]
+    shifts = jnp.arange(n, dtype=jnp.uint32)[:, None, None]
+    return jnp.sum(bools.astype(jnp.uint32) << shifts, axis=0)
+
+
+def _arc9(bits):
+    """True where the circular 16-bit mask contains a run of >= ARC_LENGTH=9
+    contiguous set bits: doubling-AND run-length trick, O(log) ops instead of the
+    16x9 boolean unroll."""
+    x = bits | (bits << 16)          # unwrap the circle
+    y = x & (x >> 1)                 # runs >= 2
+    y = y & (y >> 2)                 # runs >= 4
+    y = y & (y >> 4)                 # runs >= 8
+    y = y & (x >> 8)                 # runs >= 9
+    return (y & jnp.uint32(0xFFFF)) != 0
+
+
+def _interior_mask(h, w):
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+
+
+def fast_response_2tier(img, threshold: float, low_threshold: float):
+    """FAST-9/16 segment test + corner score at TWO thresholds sharing one
+    circle-neighbor stack (the reference's normal + sensitive-fallback detector
+    tiers, keypoint_detection.cpp:48-65).
+
+    Returns (corner_hi, score_hi, corner_lo, score_lo)."""
+    shifted = _shifted_stack(img)  # [16, H, W]
+    diff = shifted - img[None]
+    interior = _interior_mask(*img.shape)
+
+    def tier(t):
+        is_corner = (_arc9(_pack_bits(diff > t)) | _arc9(_pack_bits(diff < -t))) \
+            & interior
+        score = jnp.sum(jnp.maximum(jnp.abs(diff) - t, 0.0), axis=0)
+        return is_corner, jnp.where(is_corner, score, 0.0)
+
+    hi_c, hi_s = tier(threshold)
+    lo_c, lo_s = tier(low_threshold)
+    return hi_c, hi_s, lo_c, lo_s
+
+
 def fast_response(img, threshold: float):
     """FAST-9/16 segment test + corner score over the whole image.
 
     Returns (is_corner [H, W] bool, score [H, W] float).  The score is the sum of
     absolute circle differences beyond the threshold (an NMS-ranking score, like
     OpenCV's ``FAST`` score semantics for ordering)."""
-    shifted = _shifted_stack(img)  # [16, H, W]
-    center = img[None]
-    brighter = shifted > center + threshold
-    darker = shifted < center - threshold
-
-    def has_arc(bits):
-        # 9-contiguous circular run: OR over all 16 starts of AND over 9 bits
-        out = jnp.zeros_like(bits[0])
-        for start in range(16):
-            run = bits[start]
-            for j in range(1, ARC_LENGTH):
-                run = run & bits[(start + j) % 16]
-            out = out | run
-        return out
-
-    is_corner = has_arc(brighter) | has_arc(darker)
-
-    diff = jnp.abs(shifted - center) - threshold
-    score = jnp.sum(jnp.maximum(diff, 0.0), axis=0)
-
-    # suppress the 3-px border (rolled copies wrap around there)
-    h, w = img.shape
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    return is_corner & interior, jnp.where(is_corner & interior, score, 0.0)
+    c, s, _, _ = fast_response_2tier(img, threshold, threshold)
+    return c, s
 
 
 def _subpixel_refine(score, ys, xs):
@@ -105,8 +128,8 @@ def detect_fast_grid(img, detection_mask=None, threshold: float = 20.0,
     already-tracked-point mask (compute_key_point_mask, keypoint_detection.cpp:111-156).
 
     Returns (xy [max_points, 2] float, score [max_points], valid [max_points] bool)."""
-    is_corner, score = fast_response(img, threshold)
-    is_corner_low, score_low = fast_response(img, low_threshold)
+    is_corner, score, is_corner_low, score_low = fast_response_2tier(
+        img, threshold, low_threshold)
 
     if detection_mask is not None:
         is_corner = is_corner & detection_mask

@@ -17,7 +17,10 @@ _GAUSS_5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 
 def _sep_filter(img, kernel):
-    """Separable 2D filter with edge replication, [H, W] -> [H, W]."""
+    """Separable 2D filter with edge replication, [H, W] -> [H, W].
+
+    NOTE: deliberately NOT lax.conv — a single-channel NCHW conv lowers to a slow
+    path on TPU (the MXU wants >=8 features); K shifted adds on the VPU win."""
     k = kernel.astype(img.dtype)
     r = k.shape[0] // 2
     padded = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
@@ -38,9 +41,13 @@ def gaussian_blur5(img):
 
 def box_filter(img, size: int):
     """Box sum filter of odd ``size`` (the BRIEF pre-smoothing; OpenCV BRIEF uses a
-    9x9 box sum via integral images)."""
-    k = jnp.ones((size,), dtype=img.dtype)
-    return _sep_filter(img, k)
+    9x9 box sum via integral images).  Two separable add-reduce windows."""
+    r = size // 2
+    padded = jnp.pad(img, ((r, r), (r, r)), mode="edge")
+    out = jax.lax.reduce_window(padded, jnp.zeros((), img.dtype), jax.lax.add,
+                                (size, 1), (1, 1), "VALID")
+    return jax.lax.reduce_window(out, jnp.zeros((), img.dtype), jax.lax.add,
+                                 (1, size), (1, 1), "VALID")
 
 
 def pyr_down(img):

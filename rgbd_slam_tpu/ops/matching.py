@@ -22,28 +22,21 @@ from .brief import hamming_distance_matrix
 MAX_HAMMING = 120
 
 
-@partial(jax.jit, static_argnames=())
-def match_descriptors(map_desc, map_proj_uv, map_valid,
-                      det_desc, det_uv, det_valid, det_taken,
-                      search_radius: float = 30.0,
-                      lowe_ratio: float = 0.7):
-    """Window-gated kNN(2) descriptor matching with ratio test.
-
-    Args: map features (descriptors [M, 8] uint32, projected screen uv [M, 2], valid
-    mask) vs detected features (descriptors [N, 8], positions [N, 2], valid mask,
-    ``det_taken`` marks detections already consumed by optical-flow tracking).
-
-    Returns (match_index [M] int32 — index into detections or -1,
-    match_distance [M] int32).  Parity: Keypoint_Handler::get_match_indexes
-    (keypoint_handler.cpp:234-282) with matchSearchRadius_px gating and Lowe ratio
-    0.7 (parameters.hpp:98-100)."""
-    d = hamming_distance_matrix(map_desc, det_desc)  # [M, N]
-
-    # spatial gate: candidate detections within the search window of the projection
+def match_precompute(map_desc, map_proj_uv, det_desc, det_uv):
+    """Pose/mask-independent parts of the matching: the Hamming distance matrix and
+    squared screen distances [M, N].  Shared across the local/staged/advanced match
+    passes, which only differ in masks and radius."""
+    d = hamming_distance_matrix(map_desc, det_desc)
     dx = map_proj_uv[:, None, 0] - det_uv[None, :, 0]
     dy = map_proj_uv[:, None, 1] - det_uv[None, :, 1]
-    in_window = (dx * dx + dy * dy) <= search_radius * search_radius
+    return d, dx * dx + dy * dy
 
+
+def match_from_distances(d, dist_sq, map_valid, det_valid, det_taken,
+                         search_radius: float = 30.0, lowe_ratio: float = 0.7):
+    """Window-gated kNN(2) + Lowe ratio selection from precomputed distances
+    (see :func:`match_descriptors`)."""
+    in_window = dist_sq <= search_radius * search_radius
     allowed = in_window & det_valid[None, :] & ~det_taken[None, :] & map_valid[:, None]
     big = jnp.int32(10_000)
     gated = jnp.where(allowed, d, big)
@@ -61,6 +54,26 @@ def match_descriptors(map_desc, map_proj_uv, map_valid,
     # single-candidate case: second is ``big`` -> ratio passes if best is decent
     usable = (best < MAX_HAMMING) & ratio_ok & map_valid
     return jnp.where(usable, best_idx, -1).astype(jnp.int32), best
+
+
+@partial(jax.jit, static_argnames=())
+def match_descriptors(map_desc, map_proj_uv, map_valid,
+                      det_desc, det_uv, det_valid, det_taken,
+                      search_radius: float = 30.0,
+                      lowe_ratio: float = 0.7):
+    """Window-gated kNN(2) descriptor matching with ratio test.
+
+    Args: map features (descriptors [M, 8] uint32, projected screen uv [M, 2], valid
+    mask) vs detected features (descriptors [N, 8], positions [N, 2], valid mask,
+    ``det_taken`` marks detections already consumed by optical-flow tracking).
+
+    Returns (match_index [M] int32 — index into detections or -1,
+    match_distance [M] int32).  Parity: Keypoint_Handler::get_match_indexes
+    (keypoint_handler.cpp:234-282) with matchSearchRadius_px gating and Lowe ratio
+    0.7 (parameters.hpp:98-100)."""
+    d, dist_sq = match_precompute(map_desc, map_proj_uv, det_desc, det_uv)
+    return match_from_distances(d, dist_sq, map_valid, det_valid, det_taken,
+                                search_radius=search_radius, lowe_ratio=lowe_ratio)
 
 
 def resolve_match_conflicts(match_index, match_distance, n_detections: int):
