@@ -219,17 +219,35 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     of_ok = jnp.zeros((m3,), bool).at[t_idx].set(True, mode="drop")
 
     # FAST + BRIEF detection, masked around optically-tracked points
-    # (keypoint_detection.cpp:111-156, 404-474)
-    det_mask = fast.tracked_points_mask(
-        (cam.height, cam.width), of_uv_t, of_ok_t, det_cfg.tracked_mask_radius_px)
-    det_xy, det_score, det_valid = fast.detect_fast_grid(
-        gray, detection_mask=det_mask,
-        threshold=float(det_cfg.fast_threshold),
-        low_threshold=float(det_cfg.fast_threshold_low),
-        max_points=det_cfg.max_point_per_frame,
-        cell_rows=det_cfg.keypoint_cell_detection_height_count,
-        cell_cols=det_cfg.keypoint_cell_detection_width_count)
-    det_desc, det_valid = brief.compute_brief(gray, det_xy, det_valid)
+    # (keypoint_detection.cpp:111-156, 404-474).  Detection runs only on refresh
+    # frames or when optical flow tracked fewer than maximumPointPerFrame points
+    # (keypoint_detection.cpp:213, refresh cadence rgbd_slam.cpp:173) — skipped
+    # frames pay zero detection cost through lax.cond.
+    do_detect = (state.frame_idx % det_cfg.keypoint_refresh_frequency == 0) \
+        | (jnp.sum(of_ok_t) < det_cfg.max_point_per_frame) \
+        | state.is_lost
+
+    def detect_branch(_):
+        det_mask = fast.tracked_points_mask(
+            (cam.height, cam.width), of_uv_t, of_ok_t,
+            det_cfg.tracked_mask_radius_px)
+        xy, score, valid = fast.detect_fast_grid(
+            gray, detection_mask=det_mask,
+            threshold=float(det_cfg.fast_threshold),
+            low_threshold=float(det_cfg.fast_threshold_low),
+            max_points=det_cfg.max_point_per_frame,
+            cell_rows=det_cfg.keypoint_cell_detection_height_count,
+            cell_cols=det_cfg.keypoint_cell_detection_width_count)
+        desc, valid = brief.compute_brief(gray, xy, valid)
+        return xy, score, valid, desc
+
+    def skip_branch(_):
+        n = det_cfg.max_point_per_frame
+        return (jnp.zeros((n, 2), dt), jnp.zeros((n,), dt),
+                jnp.zeros((n,), bool), jnp.zeros((n, brief.N_WORDS), jnp.uint32))
+
+    det_xy, det_score, det_valid, det_desc = jax.lax.cond(
+        do_detect, detect_branch, skip_branch, None)
     det_z = _sample_depth(depth, det_xy)
     det_depth_ok = pinhole.is_depth_valid(det_z, cfg.engine.min_depth_mm,
                                           cfg.engine.max_depth_mm) & det_valid

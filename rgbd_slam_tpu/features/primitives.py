@@ -258,10 +258,12 @@ _CYL_TRUNC_MM = 40.0
 
 def _kasa_fit(x, y, w):
     """Weighted algebraic (Kasa) circle fit -> (cx, cy, r)."""
+    from ..pose.linalg6 import solve_spd
+
     a_mat = jnp.stack([2 * x * w, 2 * y * w, w], axis=-1)
     b_vec = (x * x + y * y) * w
     ata = a_mat.T @ a_mat + 1e-6 * jnp.eye(3, dtype=a_mat.dtype)
-    sol = jnp.linalg.solve(ata, a_mat.T @ b_vec)
+    sol = solve_spd(ata, a_mat.T @ b_vec)
     cx, cy, t = sol[0], sol[1], sol[2]
     return cx, cy, jnp.sqrt(jnp.maximum(t + cx * cx + cy * cy, 1e-9))
 
@@ -428,9 +430,12 @@ def find_primitives(depth_mm, cam: CameraIntrinsics,
     # plane-parameter covariance source: inverse raw moment matrix
     # (Plane_Segment::get_point_cloud_covariance, plane_segment.cpp:192-203),
     # norm-scaled before inversion for f32 conditioning
+    from ..pose.linalg6 import solve_spd
+
     raw = moments.raw_second_moment(p_cnt, p_mean, p_m2)
     scale = jnp.maximum(jnp.linalg.norm(raw, axis=(-2, -1), keepdims=True), 1.0)
-    cloud_cov = jnp.linalg.inv(raw / scale + 1e-9 * jnp.eye(3, dtype=dt)) / scale
+    cloud_cov = solve_spd(raw / scale + 1e-9 * jnp.eye(3, dtype=dt),
+                          jnp.broadcast_to(jnp.eye(3, dtype=dt), raw.shape)) / scale
 
     planes_out = _build_plane_boundaries(
         params, centroid, mse, p_cnt, cloud_cov, p_cellmask, plane_valid,

@@ -219,9 +219,13 @@ def plane_camera_to_world_matrix(c2w):
 
 
 def plane_world_to_camera_matrix(w2c):
-    """Inverse plane transform (reference: camera_transformation.cpp:64-72)."""
-    c2w = invert_transform(w2c)
-    return jnp.linalg.inv(plane_camera_to_world_matrix(c2w))
+    """Inverse plane transform (reference: camera_transformation.cpp:64-72).
+
+    Closed form: the plane-vector transform of a homogeneous M is the cofactor
+    matrix f(M) = (M^-1)^T, and f(M)^-1 = f(M^-1) — so the world->camera plane
+    matrix is just the same construction applied to w2c (no 4x4 inversion; this
+    sits inside the LM residual hot loop)."""
+    return plane_camera_to_world_matrix(w2c)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import CameraIntrinsics, EngineConfig, RansacConfig
 from ..geometry import se3
 from .features import MatchedFeatures
+from .linalg6 import solve6_spd
 from .residuals import (inlier_masks_prepared, prepare_features, random_variation,
                         residual_vector_prepared)
 
@@ -82,7 +83,7 @@ def lm_solve(coeffs0, feats: MatchedFeatures, cam: CameraIntrinsics,
                            1e-9, 1e6)
         a = jtj + damping * jnp.diag(jnp.maximum(jnp.diagonal(jtj), 1e-8)) \
             + 1e-12 * jnp.eye(6, dtype=dt)
-        delta = jnp.linalg.solve(a, -g)
+        delta = solve6_spd(a, -g)  # unrolled Cholesky: no LU loops on TPU
         return (best_c, best_cost, jtj, g, best_c + delta, damping), None
 
     init = (coeffs0, jnp.asarray(jnp.inf, dt), jnp.eye(6, dtype=dt),

@@ -18,6 +18,8 @@ from functools import partial
 
 import jax.numpy as jnp
 
+from ..pose.linalg6 import solve_spd
+
 
 def kalman_step(state, cov, measurement, meas_cov,
                 dynamics=None, output=None, process_noise=None):
@@ -49,10 +51,11 @@ def kalman_step(state, cov, measurement, meas_cov,
 
     # gain K = P H^T S^-1  (solve on S^T == S)
     pht = jnp.einsum("...ij,...kj->...ik", p_pred, output)
-    # Tikhonov-regularized solve replaces the reference's pseudo-inverse fallback
+    # Tikhonov-regularized solve replaces the reference's pseudo-inverse fallback;
+    # S is SPD so the unrolled Cholesky avoids TPU-hostile pivoted LU loops
     s_reg = s + 1e-9 * jnp.eye(m, dtype=dt)
     gain = jnp.swapaxes(
-        jnp.linalg.solve(s_reg, jnp.swapaxes(pht, -1, -2)), -1, -2
+        solve_spd(s_reg, jnp.swapaxes(pht, -1, -2)), -1, -2
     )
 
     innovation = measurement - jnp.einsum("...ij,...j->...i", output, x_pred)
