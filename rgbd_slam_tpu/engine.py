@@ -264,36 +264,64 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     proj3, proj3_ok = pinhole.world_to_screen(pts.pos, w2c, cam)
     need_desc_match = pts_alive & ~of_ok & proj3_ok
     n_det = det_xy.shape[0]
-    det_taken = jnp.zeros_like(det_valid)
+    p2 = state.points2d
+    p2_alive = maps.alive(p2)
+    p2_cart = idp.to_world(p2.state)
+    proj2, proj2_ok = pinhole.world_to_screen(p2_cart, w2c, cam)
 
-    # Hamming + screen distances are identical across the local/staged/advanced
-    # passes (only masks and radius change) — compute them once
-    ham3, dsq3 = matching.match_precompute(pts.desc, proj3[:, :2], det_desc, det_xy)
+    def match_branch(_):
+        det_taken = jnp.zeros_like(det_valid)
+        # Hamming + screen distances are identical across the local/staged/
+        # advanced passes (only masks and radius change) — compute them once
+        ham3, dsq3 = matching.match_precompute(pts.desc, proj3[:, :2],
+                                               det_desc, det_xy)
 
-    def match_pass(mask, taken, radius):
-        idx, dist = matching.match_from_distances(
-            ham3, dsq3, mask, det_valid, taken,
-            search_radius=radius,
+        def match_pass(mask, taken, radius):
+            idx, dist = matching.match_from_distances(
+                ham3, dsq3, mask, det_valid, taken,
+                search_radius=radius,
+                lowe_ratio=cfg.matching.max_match_distance)
+            idx = matching.resolve_match_conflicts(idx, dist, n_det)
+            new_taken = taken.at[jnp.where(idx >= 0, idx, n_det)].set(
+                True, mode="drop")
+            return idx, new_taken
+
+        radius = cfg.matching.match_search_radius_px
+        idx_loc, det_taken = match_pass(need_desc_match & pts.is_local,
+                                        det_taken, radius)
+        idx_stg, det_taken = match_pass(need_desc_match & ~pts.is_local,
+                                        det_taken, radius)
+        p_idx = jnp.where(idx_loc >= 0, idx_loc, idx_stg)
+
+        # advanced search: 2x radius retry when below minimumPointForOptimization
+        n_matched_now = jnp.sum(of_ok) + jnp.sum(p_idx >= 0)
+        idx_adv, det_taken_adv = match_pass(
+            need_desc_match & (p_idx < 0), det_taken, radius * 2.0)
+        use_adv = n_matched_now < cfg.ransac.min_point_count
+        p_idx = jnp.where(use_adv & (p_idx < 0), idx_adv, p_idx)
+        det_taken = jnp.where(use_adv, det_taken_adv, det_taken)
+
+        # 2D points: windowed descriptor match at the projected cartesian
+        # estimate (map_point2d.cpp:87-141; never fed to optical flow, :143-152)
+        q_idx, q_dist = matching.match_descriptors(
+            p2.desc, proj2[:, :2], p2_alive & proj2_ok,
+            det_desc, det_xy, det_valid, det_taken,
+            search_radius=cfg.matching.match_search_radius_px,
             lowe_ratio=cfg.matching.max_match_distance)
-        idx = matching.resolve_match_conflicts(idx, dist, n_det)
-        new_taken = taken.at[jnp.where(idx >= 0, idx, n_det)].set(
-            True, mode="drop")
-        return idx, new_taken
+        q_idx = matching.resolve_match_conflicts(q_idx, q_dist, n_det)
+        det_taken = det_taken.at[
+            jnp.where(q_idx >= 0, q_idx, n_det)].set(True, mode="drop")
+        return p_idx, q_idx, det_taken
 
-    radius = cfg.matching.match_search_radius_px
-    idx_loc, det_taken = match_pass(need_desc_match & pts.is_local,
-                                    det_taken, radius)
-    idx_stg, det_taken = match_pass(need_desc_match & ~pts.is_local,
-                                    det_taken, radius)
-    p_match_idx = jnp.where(idx_loc >= 0, idx_loc, idx_stg)
+    def no_match_branch(_):
+        m3_ = pts.pos.shape[0]
+        m2_ = p2.state.shape[0]
+        return (jnp.full((m3_,), -1, jnp.int32), jnp.full((m2_,), -1, jnp.int32),
+                jnp.zeros_like(det_valid))
 
-    # advanced search: 2x radius retry when below minimumPointForOptimization
-    n_matched_now = jnp.sum(of_ok) + jnp.sum(p_match_idx >= 0)
-    idx_adv, det_taken_adv = match_pass(
-        need_desc_match & (p_match_idx < 0), det_taken, radius * 2.0)
-    use_adv = n_matched_now < cfg.ransac.min_point_count
-    p_match_idx = jnp.where(use_adv & (p_match_idx < 0), idx_adv, p_match_idx)
-    det_taken = jnp.where(use_adv, det_taken_adv, det_taken)
+    # descriptor matching only exists on detection frames
+    p_match_idx, q_match_idx, det_taken = jax.lax.cond(
+        do_detect, match_branch, no_match_branch, None)
 
     p_obs_uv = jnp.where(of_ok[:, None], of_uv,
                          det_xy[jnp.clip(p_match_idx, 0, det_xy.shape[0] - 1)])
@@ -302,26 +330,11 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     p_obs_depth_ok = pinhole.is_depth_valid(
         p_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
 
-    # 2D points: windowed descriptor match at the projected cartesian estimate
-    # (map_point2d.cpp:87-141; never fed to optical flow, :143-152)
-    p2 = state.points2d
-    p2_alive = maps.alive(p2)
-    p2_cart = idp.to_world(p2.state)
-    proj2, proj2_ok = pinhole.world_to_screen(p2_cart, w2c, cam)
-    q_match_idx, q_match_dist = matching.match_descriptors(
-        p2.desc, proj2[:, :2], p2_alive & proj2_ok,
-        det_desc, det_xy, det_valid, det_taken,
-        search_radius=cfg.matching.match_search_radius_px,
-        lowe_ratio=cfg.matching.max_match_distance)
-    q_match_idx = matching.resolve_match_conflicts(
-        q_match_idx, q_match_dist, det_xy.shape[0])
     q_matched = q_match_idx >= 0
     q_obs_uv = det_xy[jnp.clip(q_match_idx, 0, det_xy.shape[0] - 1)]
     q_obs_z = _sample_depth(depth, q_obs_uv)
     q_obs_depth_ok = pinhole.is_depth_valid(
         q_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
-    det_taken = det_taken.at[
-        jnp.where(q_matched, q_match_idx, n_det)].set(True, mode="drop")
 
     # lines: detection-only, matching the reference where USE_LINE_DETECTION is
     # a build toggle and lines never reach pose optimization

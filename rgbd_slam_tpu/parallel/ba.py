@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import CameraIntrinsics
 from ..geometry import pinhole, se3
+from ..pose.linalg6 import inv3
 
 DAMPING = 1e-4
 
@@ -74,7 +75,7 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     # landmark blocks (local to each shard)
     hll = jnp.einsum("lcri,lcrj->lij", jl, jl) + DAMPING * jnp.eye(3, dtype=dt)
     bl = jnp.einsum("lcri,lcr->li", jl, r)
-    hll_inv = jnp.linalg.inv(hll)
+    hll_inv = inv3(hll)  # closed-form adjugate: no batched LU loops on TPU
 
     # per-observation pose blocks
     w = jnp.einsum("lcri,lcrj->lcij", jp, jl)          # [L,C,6,3]
@@ -116,7 +117,9 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     rhs = jnp.where(fix, 0.0, rhs)
     s_mat = s_mat + DAMPING * jnp.eye(k * 6, dtype=dt)
 
-    delta_p = jnp.linalg.solve(s_mat, -rhs).reshape(k, 6)
+    # SPD after damping + gauge fix: Cholesky beats the default pivoted-LU path
+    chol = jax.scipy.linalg.cho_factor(s_mat)
+    delta_p = jax.scipy.linalg.cho_solve(chol, -rhs).reshape(k, 6)
 
     # landmark back-substitution (local per shard): dl = -Hll^-1 (bl + W^T dp)
     dp_per_obs = jnp.take(delta_p, obs_kf, axis=0)      # [L, C, 6]

@@ -61,3 +61,27 @@ def solve_spd(a, b, eps: float = 1e-20):
 def solve6_spd(a, b, eps: float = 1e-20):
     """6x6 SPD solve (LM normal equations)."""
     return solve_spd(a, b, eps)
+
+
+def inv3(a, eps: float = 1e-30):
+    """Closed-form adjugate inverse of [..., 3, 3] matrices — pure elementwise ops
+    (batched ``jnp.linalg.inv`` lowers to pivoted LU loops on TPU)."""
+    m = a
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps,
+                              jnp.where(det < 0, -eps, eps), det)
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
