@@ -164,19 +164,31 @@ def p3p(world_points, bearings):
     p2 = lam2[..., None] * f2[..., None, :]
     p3 = lam3[..., None] * f3[..., None, :]
 
-    # Horn/Kabsch absolute orientation: world -> camera
+    # Absolute orientation from the minimal triplet via orthonormal triads:
+    # both point sets satisfy the same pairwise distances by construction, so
+    # R = C_c C_w^T with C = [e1, e2, e1 x e2] is exact — no SVD.  (A batched
+    # 3x3 jnp.linalg.svd lowers to ~1.3 ms of qdwh while-loops on TPU; the triad
+    # is a handful of cross products.  Degenerate/collinear triplets yield junk
+    # rotations that RANSAC scoring discards.)
     pw = jnp.stack([x1, x2, x3], axis=-2)[..., None, :, :]  # [..., 1, 3pts, 3]
     pc = jnp.stack([p1, p2, p3], axis=-2)                   # [..., 4cand, 3pts, 3]
 
-    w_mean = jnp.mean(pw, axis=-2, keepdims=True)
-    c_mean = jnp.mean(pc, axis=-2, keepdims=True)
-    h = jnp.einsum("...pi,...pj->...ij", pw - w_mean, pc - c_mean)
-    uu, ss, vvt = jnp.linalg.svd(h)
-    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", uu, vvt))
-    d_fix = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    rot = jnp.einsum("...ji,...j,...kj->...ik",
-                     vvt, d_fix, uu)  # R = V diag(1,1,det) U^T : world->camera
-    t = c_mean[..., 0, :] - jnp.einsum("...ij,...j->...i", rot, w_mean[..., 0, :])
+    def triad(pts):
+        a = pts[..., 1, :] - pts[..., 0, :]
+        b = pts[..., 2, :] - pts[..., 0, :]
+        e1 = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        b_perp = b - jnp.sum(b * e1, axis=-1, keepdims=True) * e1
+        e2 = b_perp / jnp.maximum(
+            jnp.linalg.norm(b_perp, axis=-1, keepdims=True), 1e-12)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    cw = triad(pw)                       # [..., 1, 3, 3]
+    cc = triad(pc)                       # [..., 4cand, 3, 3]
+    rot = jnp.einsum("...ij,...kj->...ik", cc, cw)  # world -> camera
+    w_mean = jnp.mean(pw, axis=-2)
+    c_mean = jnp.mean(pc, axis=-2)
+    t = c_mean - jnp.einsum("...ij,...j->...i", rot, w_mean)
 
     # w2c = [rot | t]  ->  pose (quat, position): c2w = AXIS @ [Rq | pos]
     rot_c2w = jnp.swapaxes(rot, -1, -2)
