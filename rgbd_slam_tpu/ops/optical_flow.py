@@ -142,8 +142,8 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
     return jax.vmap(track_one)(points, points_valid)
 
 
-@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
-                                   "use_pallas"))
+@partial(jax.jit, static_argnames=("max_roundtrip_px", "levels", "win_h",
+                                   "win_w", "iterations", "use_pallas"))
 def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
                            max_roundtrip_px: float = 30.0,
                            levels: int = 4, win_h: int = 53, win_w: int = 53,
@@ -154,6 +154,21 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
 
     Returns (tracked_points [N, 2], status [N] bool) — surviving points keep their
     index, i.e. their map id ("low cost feature association")."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    n = points.shape[0]
+    if use_pallas and n % 4 == 0:
+        from .pallas_lk import lk_fwd_bwd_pallas
+
+        fwd, ok = lk_fwd_bwd_pallas(
+            list(prev_pyramid), list(next_pyramid), points, points_valid,
+            levels=levels, win_h=win_h, win_w=win_w, iterations=iterations,
+            batch=4, max_roundtrip=float(max_roundtrip_px))
+        h, w = prev_pyramid[0].shape
+        status = ok & in_border(fwd, h, w, margin=1.0) \
+            & jnp.all(jnp.isfinite(fwd), axis=-1)
+        return jnp.where(status[:, None], fwd, points), status
+
     fwd, fwd_ok = lk_track(prev_pyramid, next_pyramid, points, points_valid,
                            levels=levels, win_h=win_h, win_w=win_w,
                            iterations=iterations, use_pallas=use_pallas)

@@ -198,6 +198,168 @@ def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
     out_ok_ref[pl.ds(i, 1), :] = ok.astype(jnp.int32).reshape(1, 1)
 
 
+def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
+                     dims: tuple, wins: tuple, iterations: int, eps: float):
+    """Coarse-to-fine LK for a GROUP of points (python lists of scalars).
+
+    The group advances each level in lockstep (one while_loop whose carry holds
+    every point's guess); the B independent per-point chains inside the body
+    give Mosaic instruction-level parallelism to hide the cross-lane reduction
+    and roll latencies that serialize a one-point-per-grid-step kernel."""
+    batch = len(px)
+    gx = [jnp.float32(0.0)] * batch
+    gy = [jnp.float32(0.0)] * batch
+    ok = list(valid)
+
+    for lvl in range(levels, -1, -1):
+        lh, lw = dims[lvl]
+        wh, ww = wins[lvl]
+        scale = jnp.float32(0.5 ** lvl)
+        tlx, tly, t, ix, iy = [], [], [], [], []
+        gxx, gxy, gyy, inv_det = [], [], [], []
+        for b in range(batch):
+            bx_ = jnp.clip(px[b] * scale - (ww - 1) / 2.0, 2.0, lw - ww - 3.0)
+            by_ = jnp.clip(py[b] * scale - (wh - 1) / 2.0, 2.0, lh - wh - 3.0)
+            tp = _sample_slab(src_refs[lvl], bx_ - 1.0, by_ - 1.0,
+                              wh + 2, ww + 2, lh, lw)
+            tb = tp[1:-1, 1:-1]
+            ixb = 0.5 * (tp[1:-1, 2:] - tp[1:-1, :-2])
+            iyb = 0.5 * (tp[2:, 1:-1] - tp[:-2, 1:-1])
+            a = jnp.sum(ixb * ixb)
+            bq = jnp.sum(ixb * iyb)
+            c = jnp.sum(iyb * iyb)
+            det = a * c - bq * bq
+            lvl_ok = (det > 1e-6) & valid[b]
+            ok[b] = ok[b] & lvl_ok
+            tlx.append(bx_)
+            tly.append(by_)
+            t.append(tb)
+            ix.append(ixb)
+            iy.append(iyb)
+            gxx.append(a)
+            gxy.append(bq)
+            gyy.append(c)
+            inv_det.append(jnp.where(lvl_ok, 1.0 / jnp.where(lvl_ok, det, 1.0),
+                                     0.0))
+
+        def body(carry, lvl=lvl, tlx=tlx, tly=tly, t=t, ix=ix, iy=iy,
+                 gxx=gxx, gxy=gxy, gyy=gyy, inv_det=inv_det,
+                 wh=wh, ww=ww, lh=lh, lw=lw):
+            it, cgx, cgy, done = carry
+            ngx, ngy, ndone = [], [], []
+            for b in range(batch):
+                j = _sample_slab(dst_refs[lvl], tlx[b] + cgx[b],
+                                 tly[b] + cgy[b], wh, ww, lh, lw)
+                diff = t[b] - j
+                bx = jnp.sum(ix[b] * diff)
+                by = jnp.sum(iy[b] * diff)
+                dx = jnp.where(done[b], 0.0,
+                               (gyy[b] * bx - gxy[b] * by) * inv_det[b])
+                dy = jnp.where(done[b], 0.0,
+                               (gxx[b] * by - gxy[b] * bx) * inv_det[b])
+                ngx.append(cgx[b] + dx)
+                ngy.append(cgy[b] + dy)
+                ndone.append(done[b] | (dx * dx + dy * dy < eps * eps))
+            return it + 1, tuple(ngx), tuple(ngy), tuple(ndone)
+
+        def cond(carry):
+            it, _, _, done = carry
+            all_done = done[0]
+            for b in range(1, batch):
+                all_done = all_done & done[b]
+            return (it < iterations) & jnp.logical_not(all_done)
+
+        done0 = tuple(jnp.logical_not(o) for o in ok)
+        _, gx_t, gy_t, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tuple(gx), tuple(gy), done0))
+        gx, gy = list(gx_t), list(gy_t)
+        if lvl > 0:
+            gx = [g * 2.0 for g in gx]
+            gy = [g * 2.0 for g in gy]
+    return gx, gy, ok
+
+
+def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
+                       wins: tuple, iterations: int, eps: float, batch: int,
+                       max_roundtrip: float):
+    """Forward + backward pyramidal LK + round-trip gate for ``batch`` points
+    per grid step, all in one kernel launch (reference behavior:
+    get_keypoints_from_optical_flow, keypoint_detection.cpp:262-361)."""
+    prev_refs = refs[:levels + 1]
+    next_refs = refs[levels + 1:2 * levels + 2]
+    out_g_ref, out_ok_ref = refs[2 * levels + 2], refs[2 * levels + 3]
+
+    i = pl.program_id(0)
+    base = i * batch
+    px = [pts_ref[base + b, 0] for b in range(batch)]
+    py = [pts_ref[base + b, 1] for b in range(batch)]
+    valid = [valid_ref[base + b] > 0 for b in range(batch)]
+
+    kw = dict(levels=levels, dims=dims, wins=wins, iterations=iterations,
+              eps=eps)
+    fgx, fgy, fok = _track_direction(prev_refs, next_refs, px, py, valid, **kw)
+    fx = [px[b] + fgx[b] for b in range(batch)]
+    fy = [py[b] + fgy[b] for b in range(batch)]
+    bgx, bgy, bok = _track_direction(next_refs, prev_refs, fx, fy, fok, **kw)
+
+    outs_g = []
+    outs_ok = []
+    for b in range(batch):
+        # backward track should land on the original point
+        rt2 = (fgx[b] + bgx[b]) ** 2 + (fgy[b] + bgy[b]) ** 2
+        ok = fok[b] & bok[b] & (rt2 <= max_roundtrip * max_roundtrip)
+        outs_g.append(jnp.stack([fx[b], fy[b]]))
+        outs_ok.append(ok.astype(jnp.int32))
+    out_g_ref[pl.ds(base, batch), :] = jnp.stack(outs_g)
+    out_ok_ref[pl.ds(base, batch), :] = jnp.stack(outs_ok).reshape(batch, 1)
+
+
+@partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
+                                   "eps", "batch", "max_roundtrip", "interpret"))
+def lk_fwd_bwd_pallas(prev_pyramid, next_pyramid, points, valid,
+                      levels: int = 4, win_h: int = 53, win_w: int = 53,
+                      iterations: int = 10, eps: float = 0.03,
+                      batch: int = 8, max_roundtrip: float = 35.0,
+                      interpret: bool = False):
+    """Fused forward+backward pyramidal LK with the round-trip gate.
+
+    Returns (tracked_points [N, 2], ok [N] bool).  One kernel launch tracks
+    ``batch`` points per grid step — the independent chains give the VPU
+    instruction-level parallelism that the one-point-per-step kernel lacks."""
+    n = points.shape[0]
+    assert n % batch == 0, f"point count {n} must be a multiple of {batch}"
+    dims = tuple((int(p.shape[0]), int(p.shape[1]))
+                 for p in prev_pyramid[:levels + 1])
+    wins = tuple((min(win_h, lh - 8), min(win_w, lw - 8)) for lh, lw in dims)
+    prev_pad = [_pad_level(p) for p in prev_pyramid[:levels + 1]]
+    next_pad = [_pad_level(p) for p in next_pyramid[:levels + 1]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // batch,),
+        in_specs=[pl.BlockSpec(img.shape, lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+                  for img in prev_pad + next_pad],
+        out_specs=[
+            pl.BlockSpec((n, 2), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    out_g, out_ok = pl.pallas_call(
+        partial(_lk_fwd_bwd_kernel, levels=levels, dims=dims, wins=wins,
+                iterations=iterations, eps=eps, batch=batch,
+                max_roundtrip=max_roundtrip),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(points.astype(jnp.float32), valid.astype(jnp.int32),
+      *prev_pad, *next_pad)
+    return out_g, out_ok[:, 0] > 0
+
+
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
                                    "eps", "interpret"))
 def lk_pyramid_pallas(prev_pyramid, next_pyramid, points, valid,

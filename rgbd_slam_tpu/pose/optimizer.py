@@ -158,6 +158,44 @@ def _compact_subset(feats: MatchedFeatures, idx, sel) -> MatchedFeatures:
     )
 
 
+#: compact capacities for the final refit + MC covariance: per-frame matches are
+#: bounded by the tracked-point cap (128) + detections (100) for 3D points and by
+#: detections for 2D points, far below the map capacities (512/256) the full
+#: residual stack is allocated at.  Compacting the inlier set before the two
+#: full-feature LM solves cuts their residual rows ~2.5x.
+_REFIT_CAPS = (256, 128, 32)
+
+
+def compact_features(feats: MatchedFeatures,
+                     caps: tuple = _REFIT_CAPS) -> MatchedFeatures:
+    """Gather the masked (matched/inlier) rows of each feature block into smaller
+    fixed-capacity blocks.  Behavior-neutral whenever the true per-type counts fit
+    in ``caps`` (they do: matches per frame are bounded by detections + tracked)."""
+    cp, c2, ck = caps
+
+    def compact(mask, cap):
+        n = mask.shape[0]
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        dest = jnp.where(mask & (rank < cap), rank, cap)
+        idx = jnp.zeros((cap,), jnp.int32).at[dest].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        keep = jnp.arange(cap) < jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
+        return idx, keep
+
+    ip, mp_ = compact(feats.point_mask, cp)
+    i2, m2_ = compact(feats.point2d_mask, c2)
+    ik, mk_ = compact(feats.plane_mask, ck)
+    return MatchedFeatures(
+        point_obs_uv=feats.point_obs_uv[ip], point_world=feats.point_world[ip],
+        point_world_std=feats.point_world_std[ip], point_mask=mp_,
+        point2d_obs_uv=feats.point2d_obs_uv[i2],
+        point2d_state=feats.point2d_state[i2],
+        point2d_state_std=feats.point2d_state_std[i2], point2d_mask=m2_,
+        plane_cam=feats.plane_cam[ik], plane_world=feats.plane_world[ik],
+        plane_world_std=feats.plane_world_std[ik], plane_mask=mk_,
+    )
+
+
 def _score_pose(coeffs, prep, cam, ransac_cfg):
     from .features import PLANE_SCORE, POINT2D_SCORE, POINT_SCORE
 
@@ -236,7 +274,7 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
     # inliers of the best hypothesis, final refit on them
     # (pose_optimization.cpp:244-254)
     _, _, (p_in, q_in, k_in) = _score_pose(best_coeffs, prep_all, cam, ransac_cfg)
-    inlier_feats = feats.with_masks(p_in, q_in, k_in)
+    inlier_feats = compact_features(feats.with_masks(p_in, q_in, k_in))
     final_coeffs, _ = lm_solve(best_coeffs, inlier_feats, cam,
                                iterations=engine_cfg.lm_iterations)
 
@@ -250,7 +288,7 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
     quat = se3.quat_normalize(quat)
 
     if compute_covariance:
-        inlier_final = feats.with_masks(p_in2, q_in2, k_in2)
+        inlier_final = compact_features(feats.with_masks(p_in2, q_in2, k_in2))
         covariance = compute_pose_variance(
             k_cov, final_coeffs, inlier_final, cam,
             iterations=engine_cfg.pose_covariance_mc_iterations,
