@@ -83,16 +83,27 @@ class DetectionConfig:
     max_point_per_frame: int = 100
     keypoint_refresh_frequency: int = 5
 
-    # optical flow
+    # optical flow.  NOTE: the fwd-bwd round-trip gate in the reference is
+    # matchSearchRadius_px (keypoint_detection.cpp:174: "constexpr double
+    # maxDistance = parameters::matching::matchSearchRadius_px") — there is no
+    # separate optical-flow error threshold; the engine gates with
+    # MatchingConfig.match_search_radius_px for exact parity.
     optical_flow_pyramid_depth: int = 4
     optical_flow_window_height: int = 9
     optical_flow_window_width: int = 12
-    optical_flow_max_error_px: float = 35.0  # fwd-bwd round-trip gate
     optical_flow_iterations: int = 10
 
-    # FAST detector
-    fast_threshold: int = 20
-    fast_threshold_low: int = 10  # more-sensitive fallback tier
+    # FAST detector: thresholds derive from the reference's empirical
+    # points->threshold curve 41.2378 * 0.99945^points evaluated at 10x and 30x
+    # maximumPointPerFrame (keypoint_detection.cpp:48-65) => 24 / 8 at 100 points.
+    fast_threshold: int = 24
+    fast_threshold_low: int = 8  # more-sensitive fallback tier
+
+    @staticmethod
+    def fast_threshold_curve(points_to_detect: float) -> int:
+        """Empirical FAST points->threshold curve (reference:
+        keypoint_detection.cpp:49-52)."""
+        return int(math.ceil(41.2378 * (0.99945 ** points_to_detect)))
 
     # inverse depth
     inverse_depth_baseline: float = 1.0 / 1000.0      # 1/mm

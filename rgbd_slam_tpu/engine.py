@@ -67,6 +67,8 @@ class StepOutput(NamedTuple):
     n_planes_alive: jnp.ndarray
     n_detected: jnp.ndarray
     n_lines: jnp.ndarray
+    n_cylinders: jnp.ndarray       # detected cylinder sub-segments this frame
+    cylinder_cells: jnp.ndarray    # [C] union of cylinder inlier cell masks
     # per-slot observation record for the keyframe/BA backend
     point_obs_uv: jnp.ndarray   # [M3, 2] matched screen observation
     point_matched: jnp.ndarray  # [M3] bool (match AND RANSAC inlier)
@@ -347,15 +349,24 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     else:
         n_lines = jnp.asarray(0, jnp.int32)
 
-    # planes
+    # planes + cylinders (cylinders are detection products like the reference —
+    # there is no cylinder feature map in src/map_management; they surface in
+    # the step output and the debug image)
+    n_grid_cells = (cam.height // det_cfg.depth_patch_size_px) \
+        * (cam.width // det_cfg.depth_patch_size_px)
     if with_planes:
         det_planes, det_cyls = primitives.find_primitives(depth, cam, det_cfg)
         k_match_idx, det_planes_world = _match_planes(
             state.planes, det_planes, c2w, cfg)
+        n_cylinders = jnp.sum(det_cyls.valid)
+        cylinder_cells = jnp.any(
+            det_cyls.cell_mask & det_cyls.valid[:, None], axis=0)
     else:
         det_planes = None
         k_match_idx = jnp.full((mp,), -1, jnp.int32)
         det_planes_world = jnp.zeros((MAX_PLANES, 4), dt)
+        n_cylinders = jnp.asarray(0, jnp.int32)
+        cylinder_cells = jnp.zeros((n_grid_cells,), bool)
     k_matched = k_match_idx >= 0
 
     # --- pose optimization -------------------------------------------------
@@ -675,6 +686,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_planes_alive=jnp.sum(maps.alive(new_planes)),
         n_detected=jnp.sum(det_valid),
         n_lines=n_lines,
+        n_cylinders=n_cylinders,
+        cylinder_cells=cylinder_cells,
         point_obs_uv=p_obs_uv,
         point_matched=p_final & pts_alive,
         point_fid=pts.fid,

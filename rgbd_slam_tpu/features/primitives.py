@@ -76,6 +76,7 @@ class DetectedCylinders(NamedTuple):
     center: jnp.ndarray      # [MAX_CYLINDERS, 3] point on axis
     radius: jnp.ndarray      # [MAX_CYLINDERS]
     mse: jnp.ndarray         # [MAX_CYLINDERS]
+    cell_mask: jnp.ndarray   # [MAX_CYLINDERS, C] inlier cells of the sub-segment
     valid: jnp.ndarray       # [MAX_CYLINDERS] bool
 
 
@@ -248,95 +249,157 @@ def _normal_bins(normals):
 
 
 # ---------------------------------------------------------------------------
-# cylinder fitting (simplified batched variant of the sequential MSAC,
-# cylinder_segment.cpp:35-225 — full MSAC parity tracked for a later round)
+# cylinder fitting: sequential sub-segment MSAC (cylinder_segment.cpp:35-322)
 # ---------------------------------------------------------------------------
 
-_CYL_MSAC_HYPOTHESES = 32
-_CYL_TRUNC_MM = 40.0
+#: sub-segments extracted per grown region (the reference's while loop peels
+#: inlier sets until too few cells remain, cylinder_segment.cpp:144-147; real
+#: scenes rarely produce more than a couple per region)
+CYL_SUBSEGMENTS = 3
 
 
-def _kasa_fit(x, y, w):
-    """Weighted algebraic (Kasa) circle fit -> (cx, cy, r)."""
-    from ..pose.linalg6 import solve_spd
-
-    a_mat = jnp.stack([2 * x * w, 2 * y * w, w], axis=-1)
-    b_vec = (x * x + y * y) * w
-    ata = a_mat.T @ a_mat + 1e-6 * jnp.eye(3, dtype=a_mat.dtype)
-    sol = solve_spd(ata, a_mat.T @ b_vec)
-    cx, cy, t = sol[0], sol[1], sol[2]
-    return cx, cy, jnp.sqrt(jnp.maximum(t + cx * cx + cy * cy, 1e-9))
+def _msac_iterations(cfg: DetectionConfig) -> int:
+    """RANSAC iteration count from the inlier-proportion formula
+    (cylinder_segment.cpp:130-135)."""
+    num = math.log(1.0 - cfg.cylinder_ransac_probability_of_success)
+    den = math.log(1.0 - cfg.cylinder_ransac_inlier_proportion ** 3)
+    return max(1, int(num / den))
 
 
-def _fit_cylinder(grid: CellGrid, active):
-    """Cylinder fit over the activated cells (reference: Cylinder_Segment ctor,
-    cylinder_segment.cpp:35-225): axis from the PCA of cell normals (cylinder
-    normals are orthogonal to its axis, :47-105), then a truncated-distance MSAC
-    over circumcircle hypotheses in the axis-orthogonal plane (:143-224 — the
-    reference's sequential triplet RANSAC as a lockstep batch of deterministic
-    scrambled triplets) and an inlier-weighted Kasa refit (:196-224).
-
-    Returns (axis, center, radius, mse)."""
-    w = (active & grid.planar).astype(grid.normal.dtype)
-    cnt = jnp.maximum(jnp.sum(w), 1.0)
+def _cylinder_axis(grid: CellGrid, active, cfg: DetectionConfig):
+    """Cheap per-region axis estimate + acceptance score (reference:
+    cylinder_segment.cpp:47-105): smallest-eigenvector PCA of [normals,
+    -normals] — same covariance direction structure as the normals alone, so
+    one weighted outer-product sum suffices — gated by
+    lambda_max/lambda_min >= cylinderRansacMinimumScore."""
+    dt = grid.normal.dtype
+    w0 = (active & grid.planar).astype(dt)
+    cnt0 = jnp.sum(w0)
     from ..geometry.eig3 import sym_eig3_smallest
 
-    nn = jnp.einsum("c,ci,cj->ij", w, grid.normal, grid.normal)
-    _, axis = sym_eig3_smallest(nn)
+    nn = jnp.einsum("c,ci,cj->ij", w0, grid.normal, grid.normal)
+    eigvals, axis = sym_eig3_smallest(nn)         # ascending values
+    score = eigvals[2] / jnp.maximum(eigvals[0], 1e-12)
+    axis_ok = (score >= cfg.cylinder_ransac_min_score) & (cnt0 >= 3)
+    return axis, axis_ok
 
-    u, v = poly.plane_basis(axis)
-    mean_c = jnp.sum(grid.mean * w[:, None], axis=0) / cnt
-    p2 = poly.project_to_plane(grid.mean, mean_c, u, v)
-    x, y = p2[:, 0], p2[:, 1]
 
-    # --- MSAC over circumcircle triplets: compact active cells, deterministic
-    # scrambled triplets (determinism parity with MAKE_DETERMINISTIC seeding)
+def _fit_cylinder(grid: CellGrid, active, axis, axis_ok, cfg: DetectionConfig,
+                  min_activated: int):
+    """Multi-sub-segment cylinder fit over the activated cells (reference:
+    Cylinder_Segment ctor, cylinder_segment.cpp:35-225).
+
+    Parity path: centroids/normals projected to the axis-orthogonal plane
+    (:107-125); then a SEQUENTIAL sub-segment loop — each round runs a
+    truncated-relative-distance MSAC over random cell triplets with the
+    closed-form LLS cylinder solution (:242-322), refits radius/center on the
+    inliers (:160-185), records the sub-segment MSE (point-to-axis distance
+    minus radius, :195-215) and removes the inliers from the remaining set
+    (:143-159).  The reference's sequential triplet draws become a lockstep
+    batch of deterministically scrambled triplets (determinism parity with
+    MAKE_DETERMINISTIC seeding).
+
+    Returns per-sub-segment arrays: (center [S, 3], radius [S], mse [S],
+    valid [S], inliers [S, C])."""
+    dt = grid.normal.dtype
+    planar_active = active & grid.planar
+    cnt0 = jnp.sum(planar_active.astype(dt))
+
+    # project centroids and normals to the axis-orthogonal plane (3D form)
+    cdot = grid.mean @ axis
+    proj_c = grid.mean - cdot[:, None] * axis[None]
+    ndot = grid.normal @ axis
+    proj_n = grid.normal - ndot[:, None] * axis[None]
+    proj_n = proj_n / jnp.maximum(
+        jnp.linalg.norm(proj_n, axis=-1, keepdims=True), 1e-9)
+
     nc = grid.mean.shape[0]
-    rank = jnp.cumsum((w > 0).astype(jnp.int32)) - 1
-    na = jnp.maximum(jnp.sum((w > 0).astype(jnp.int32)), 1)
-    compact = jnp.full((nc,), 0, jnp.int32).at[
-        jnp.where(w > 0, rank, nc)].set(jnp.arange(nc, dtype=jnp.int32),
-                                        mode="drop")
-    b = _CYL_MSAC_HYPOTHESES
-    tri = (jnp.arange(b * 3, dtype=jnp.uint32).reshape(b, 3)
-           * jnp.uint32(2654435761)).astype(jnp.uint32) % na.astype(jnp.uint32)
-    tri_idx = compact[tri.astype(jnp.int32)]     # [b, 3] cell indices
-    tx = x[tri_idx]
-    ty = y[tri_idx]
+    n_hyp = _msac_iterations(cfg)
+    trunc = cfg.cylinder_ransac_sqrt_max_distance
+    s = CYL_SUBSEGMENTS
 
-    # circumcircle through 3 points (perpendicular-bisector solve)
-    ax_, ay_ = tx[:, 0], ty[:, 0]
-    bx_, by_ = tx[:, 1], ty[:, 1]
-    cx_, cy_ = tx[:, 2], ty[:, 2]
-    d = 2.0 * (ax_ * (by_ - cy_) + bx_ * (cy_ - ay_) + cx_ * (ay_ - by_))
-    d_safe = jnp.where(jnp.abs(d) < 1e-6, 1.0, d)
-    ux_ = ((ax_ ** 2 + ay_ ** 2) * (by_ - cy_) + (bx_ ** 2 + by_ ** 2) * (cy_ - ay_)
-           + (cx_ ** 2 + cy_ ** 2) * (ay_ - by_)) / d_safe
-    uy_ = ((ax_ ** 2 + ay_ ** 2) * (cx_ - bx_) + (bx_ ** 2 + by_ ** 2) * (ax_ - cx_)
-           + (cx_ ** 2 + cy_ ** 2) * (bx_ - ax_)) / d_safe
-    hyp_r = jnp.sqrt((ax_ - ux_) ** 2 + (ay_ - uy_) ** 2)
-    hyp_ok = jnp.abs(d) >= 1e-6
+    def lls_cylinder(sum_n, sum_c, sum_nc, k):
+        """Closed-form LLS cylinder from sums over a cell set
+        (cylinder_segment.cpp:160-190 / :263-274): a = 1 - |sum_n|^2/k^2,
+        b = sum(n.c)/k - (sum_n . sum_c)/k^2, radius = b/a."""
+        inv_k = 1.0 / jnp.maximum(k, 1.0)
+        a = 1.0 - jnp.sum(sum_n * sum_n) * inv_k * inv_k
+        b = sum_nc * inv_k - jnp.sum(sum_n * sum_c) * inv_k * inv_k
+        radius = b / jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
+        center = (sum_c - radius * sum_n) * inv_k
+        return radius, center
 
-    # truncated MSAC score over all active cells
-    dist = jnp.abs(jnp.sqrt(jnp.maximum(
-        (x[None, :] - ux_[:, None]) ** 2 + (y[None, :] - uy_[:, None]) ** 2,
-        1e-12)) - hyp_r[:, None])                       # [b, nc]
-    trunc2 = _CYL_TRUNC_MM ** 2
-    msac = jnp.sum(w[None, :] * jnp.minimum(dist * dist, trunc2), axis=-1)
-    msac = jnp.where(hyp_ok, msac, jnp.inf)
-    best = jnp.argmin(msac)
+    remaining = planar_active & axis_ok
+    centers, radii, mses, valids, inlier_masks = [], [], [], [], []
+    for si in range(s):
+        rw = remaining.astype(dt)
+        n_left = jnp.sum(rw)
+        # while-loop condition (cylinder_segment.cpp:144-147)
+        round_ok = axis_ok & (n_left > min_activated) & (n_left > 0.1 * cnt0) \
+            & (n_left >= 3)
 
-    # inlier-weighted Kasa refit
-    inlier_w = w * (dist[best] < _CYL_TRUNC_MM)
-    enough = jnp.sum(inlier_w) >= 3
-    fit_w = jnp.where(enough, inlier_w, w)
-    cx2, cy2, r2 = _kasa_fit(x, y, fit_w)
+        # deterministic scrambled triplets over the compacted remaining set
+        rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+        na = jnp.maximum(jnp.sum(remaining.astype(jnp.int32)), 1)
+        compact = jnp.zeros((nc,), jnp.int32).at[
+            jnp.where(remaining, rank, nc)].set(
+            jnp.arange(nc, dtype=jnp.int32), mode="drop")
+        tri = ((jnp.arange(n_hyp * 3, dtype=jnp.uint32).reshape(n_hyp, 3)
+                + jnp.uint32(si * 7919))
+               * jnp.uint32(2654435761)) % na.astype(jnp.uint32)
+        tri_idx = compact[tri.astype(jnp.int32)]          # [B, 3]
 
-    dist2 = jnp.sqrt(jnp.maximum((x - cx2) ** 2 + (y - cy2) ** 2, 1e-12)) - r2
-    wsum = jnp.maximum(jnp.sum(fit_w), 1.0)
-    mse = jnp.sum(fit_w * dist2 * dist2) / wsum
-    center3 = poly.unproject_from_plane(jnp.stack([cx2, cy2]), mean_c, u, v)
-    return axis, center3, r2, mse
+        tn = proj_n[tri_idx]                              # [B, 3, 3]
+        tc = proj_c[tri_idx]
+        sum_n = jnp.sum(tn, axis=1)
+        sum_c = jnp.sum(tc, axis=1)
+        sum_nc = jnp.sum(tn * tc, axis=(1, 2))
+        radius_h, center_h = jax.vmap(lls_cylinder)(
+            sum_n, sum_c, sum_nc, jnp.full((n_hyp,), 3.0, dt))
+
+        # truncated RELATIVE distance (cylinder_segment.cpp:283-299):
+        # |(c_i - r n_i) - center|^2 / r^2, truncated at sqrtMaxDistance.
+        # Expanded form: the cell-vs-hypothesis cross terms are two [C,3]@[3,B]
+        # matmuls (MXU) instead of a materialized [B, C, 3] intermediate
+        cc = jnp.sum(proj_c * proj_c, axis=-1)            # [C]
+        cn = jnp.sum(proj_c * proj_n, axis=-1)            # [C]
+        c_dot = proj_c @ center_h.T                       # [C, B]
+        n_dot = proj_n @ center_h.T                       # [C, B]
+        r_ = radius_h[:, None]
+        d2 = (cc[None, :] - 2.0 * r_ * cn[None, :] + r_ * r_
+              - 2.0 * c_dot.T + 2.0 * r_ * n_dot.T
+              + jnp.sum(center_h * center_h, axis=-1)[:, None]) \
+            / jnp.maximum(r_ * r_, 1e-12)
+        msac = jnp.sum(rw[None] * jnp.minimum(d2, trunc), axis=-1)
+        best = jnp.argmin(msac)
+
+        inliers = remaining & (d2[best] < trunc)
+        k = jnp.sum(inliers.astype(dt))
+        seg_ok = round_ok & (k >= 6)                      # checkpoint 2, :156
+
+        # LLS refit on all inliers (:160-190)
+        iw = inliers.astype(dt)
+        radius, center = lls_cylinder(
+            jnp.sum(proj_n * iw[:, None], axis=0),
+            jnp.sum(proj_c * iw[:, None], axis=0),
+            jnp.sum(proj_n * proj_c * iw[:, None]), k)
+        radius = jnp.abs(radius)                          # concave rectify, :191
+
+        # MSE: squared (point-to-axis-line distance - radius) over inliers
+        rel = grid.mean - center[None]
+        perp = rel - (rel @ axis)[:, None] * axis[None]
+        dist = jnp.linalg.norm(perp, axis=-1) - radius
+        mse = jnp.sum(iw * dist * dist) / jnp.maximum(k, 1.0)
+
+        centers.append(center)
+        radii.append(radius)
+        mses.append(jnp.where(seg_ok, mse, jnp.inf))
+        valids.append(seg_ok)
+        inlier_masks.append(inliers & seg_ok)
+        remaining = remaining & ~(inliers & seg_ok)
+
+    return (jnp.stack(centers), jnp.stack(radii), jnp.stack(mses),
+            jnp.stack(valids), jnp.stack(inlier_masks))
 
 
 # ---------------------------------------------------------------------------
@@ -380,41 +443,107 @@ def find_primitives(depth_mm, cam: CameraIntrinsics,
     normal, d, centroid, mse, score, fit_ok = fit_plane_from_moments(cnt, mean, m2)
 
     # histogram seed gate (parity with the top-bin >= seedCount loop condition,
-    # primitive_detection.cpp:278): the component's orientation bin must hold at
-    # least seed_threshold planar cells frame-wide
+    # primitive_detection.cpp:278): the reference seeds a region from its most
+    # populated orientation bin, so a region is seedable iff SOME bin among its
+    # OWN member cells holds >= seed_threshold planar cells (gating on the
+    # region's fitted normal breaks for curved regions whose average normal
+    # matches no actual cell).  One [K, C] @ [C, bins] one-hot matmul.
     bins = _normal_bins(grid.normal)
-    bin_counts = jax.ops.segment_sum(grid.planar.astype(jnp.int32), bins,
-                                     num_segments=HIST_BINS * HIST_BINS)
-    cand_bins = _normal_bins(normal)
-    bin_gate = bin_counts[cand_bins] >= seed_threshold
+    onehot = (bins[:, None] == jnp.arange(HIST_BINS * HIST_BINS)[None, :]) \
+        & grid.planar[:, None]
+    member_bin_counts = member.astype(dt) @ onehot.astype(dt)   # [K, bins]
+    bin_gate = jnp.max(member_bin_counts, axis=-1) >= seed_threshold
 
     grown_ok = (cand_sizes >= min_activated) & bin_gate & fit_ok
 
-    # plane-vs-cylinder model choice (primitive_detection.cpp:375-388, 437-476)
+    # plane-vs-cylinder model choice (primitive_detection.cpp:375-388)
     is_plane = grown_ok & (score > 100.0)
     try_cyl = grown_ok & ~is_plane & (cand_sizes > 5)
-    cy_axis, cy_center, cy_r, cy_mse = jax.vmap(
-        lambda msk: _fit_cylinder(grid, msk))(member)
-    cyl_better = try_cyl & (cy_mse < mse)
-    accept_plane = is_plane | (try_cyl & ~cyl_better)
+    # cheap axis/score gate on every region (cylinder_segment.cpp:97-101), then
+    # the expensive sub-segment MSAC runs only on the few gated regions,
+    # compacted to MAX_CYLINDERS region slots
+    cy_axis, axis_ok = jax.vmap(
+        lambda msk: _cylinder_axis(grid, msk, cfg))(member)
+    cyl_cand = try_cyl & axis_ok
+    r_rank = jnp.cumsum(cyl_cand.astype(jnp.int32)) - 1
+    r_sel = cyl_cand & (r_rank < MAX_CYLINDERS)
+    region_idx = jnp.zeros((MAX_CYLINDERS,), jnp.int32).at[
+        jnp.where(r_sel, r_rank, MAX_CYLINDERS)].set(
+        jnp.arange(k_cand, dtype=jnp.int32), mode="drop")
+    region_live = jnp.arange(MAX_CYLINDERS) < jnp.sum(r_sel.astype(jnp.int32))
+    sel_centers, sel_radii, sel_mses, sel_valids, sel_inliers = jax.vmap(
+        lambda msk, ax, ok: _fit_cylinder(grid, msk, ax, ok, cfg,
+                                          min_activated))(
+        member[region_idx], cy_axis[region_idx], region_live)
+    # route sub-segment results back to the full region index space via a
+    # one-hot [k_cand, slots] matmul (see compact_to for why not a scatter)
+    s_ = CYL_SUBSEGMENTS
+    tgt = jnp.where(region_live, region_idx, k_cand)
+    r_onehot = (tgt[None, :] == jnp.arange(k_cand)[:, None]).astype(dt)
+    row_has = jnp.sum(r_onehot, axis=-1) > 0
+    cy_centers = (r_onehot @ sel_centers.reshape(MAX_CYLINDERS, -1)) \
+        .reshape(k_cand, s_, 3)
+    cy_radii = r_onehot @ sel_radii
+    cy_valids = (r_onehot @ sel_valids.astype(dt)) > 0.5
+    # inf-valued invalid MSEs would turn 0*inf into NaN inside the matmul
+    cy_mses = jnp.where(cy_valids,
+                        r_onehot @ jnp.where(jnp.isfinite(sel_mses),
+                                             sel_mses, 0.0), jnp.inf)
+    cy_inliers = ((r_onehot @ sel_inliers.reshape(MAX_CYLINDERS, -1)
+                   .astype(dt)) > 0.5).reshape(k_cand, s_, n_cells)
+    # PER-SUB-SEGMENT model choice (primitive_detection.cpp:437-476): each
+    # sub-segment compares its cylinder MSE against the region's merged-plane
+    # MSE; plane-winning sub-segments re-enter the plane list (the reference
+    # pushes newMergedPlane per winning sub-segment)
+    seg_cyl_better = try_cyl[:, None] & cy_valids & (cy_mses < mse[:, None])
+    seg_plane_better = try_cyl[:, None] & cy_valids & ~(cy_mses < mse[:, None])
+    seg_flat = seg_cyl_better.reshape(-1)
+    # cylinder slots are finite: overflow sub-segments (and overflow candidate
+    # regions beyond the MSAC slots) fall back to the plane model rather than
+    # being dropped (the reference has no slot cap)
+    cyl_rank = jnp.cumsum(seg_flat.astype(jnp.int32)) - 1
+    overflow = seg_flat & (cyl_rank >= MAX_CYLINDERS)
+    seg_flat = seg_flat & ~overflow
+    accept_plane = is_plane | jnp.any(seg_plane_better, axis=1) \
+        | jnp.any(overflow.reshape(k_cand, CYL_SUBSEGMENTS), axis=1) \
+        | (cyl_cand & ~r_sel)
 
     def compact_to(cap, accept, *arrays):
-        """Scatter accepted candidates (size-ranked) into the first ``cap`` slots."""
+        """Gather accepted candidates (size-ranked) into the first ``cap`` slots.
+
+        Implemented as a one-hot [cap, n] selection matmul rather than a scatter
+        with an out-of-bounds sentinel: the TPU backend mis-lowers OOB-dropped
+        scatters for power-of-two caps with >128-lane rows (indices wrap mod cap
+        instead of dropping), and the matmul is MXU-friendly anyway."""
         rank = jnp.cumsum(accept.astype(jnp.int32)) - 1
         dest = jnp.where(accept & (rank < cap), rank, cap)
         num = jnp.minimum(jnp.sum(accept.astype(jnp.int32)), cap)
+        onehot = (dest[None, :] == jnp.arange(cap)[:, None]).astype(dt)  # [cap,n]
+        row_has = (jnp.sum(onehot, axis=-1) > 0)
         outs = []
         for a, fill in arrays:
-            out = jnp.full((cap,) + a.shape[1:], fill, a.dtype)
-            outs.append(out.at[dest].set(a, mode="drop"))
+            n_src = a.shape[0]
+            flat = a.reshape(n_src, -1).astype(dt)
+            # zero non-accepted rows: 0 * inf (e.g. invalid MSEs) would NaN
+            flat = jnp.where(accept[:, None], flat, 0.0)
+            picked = onehot @ flat                      # [cap, prod(rest)]
+            out = jnp.where(row_has[:, None], picked,
+                            jnp.asarray(fill, dt)).reshape((cap,) + a.shape[1:])
+            outs.append(out.astype(a.dtype) if a.dtype != bool
+                        else (out > 0.5))
         return num, outs
 
     p_num, (p_cnt, p_mean, p_m2, p_cellmask) = compact_to(
         MAX_PLANES, accept_plane,
         (cnt, 0), (mean, 0), (m2, 0), (member, False))
-    c_num, (c_axis, c_center, c_radius, c_mse) = compact_to(
-        MAX_CYLINDERS, cyl_better,
-        (cy_axis, 0), (cy_center, 0), (cy_r, 0), (cy_mse, jnp.inf))
+    ks = k_cand * CYL_SUBSEGMENTS
+    axis_flat = jnp.broadcast_to(cy_axis[:, None, :],
+                                 (k_cand, CYL_SUBSEGMENTS, 3)).reshape(ks, 3)
+    c_num, (c_axis, c_center, c_radius, c_mse, c_cells) = compact_to(
+        MAX_CYLINDERS, seg_flat,
+        (axis_flat, 0), (cy_centers.reshape(ks, 3), 0),
+        (cy_radii.reshape(ks), 0), (cy_mses.reshape(ks), jnp.inf),
+        (cy_inliers.reshape(ks, n_cells), False))
 
     plane_valid = jnp.arange(MAX_PLANES) < p_num
 
@@ -443,7 +572,7 @@ def find_primitives(depth_mm, cam: CameraIntrinsics,
 
     cylinders = DetectedCylinders(
         axis=c_axis, center=c_center, radius=c_radius, mse=c_mse,
-        valid=jnp.arange(MAX_CYLINDERS) < c_num)
+        cell_mask=c_cells, valid=jnp.arange(MAX_CYLINDERS) < c_num)
     return planes_out, cylinders
 
 

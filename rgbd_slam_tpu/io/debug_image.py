@@ -19,6 +19,7 @@ STAGED_COLOR = (80, 180, 255)   # staged features: orange-ish (BGR-free RGB)
 LOCAL_COLOR = (80, 255, 120)    # local features: green
 TRACKED_COLOR = (255, 230, 60)  # optical-flow tracked: yellow
 PLANE_COLOR = (255, 120, 200)
+CYLINDER_COLOR = (120, 200, 255)  # detected cylinder cells: light blue tint
 
 
 def _draw_square(img, x, y, half, color):
@@ -43,11 +44,26 @@ def _draw_line(img, p0, p1, color):
 
 
 def render_debug_image(gray, state, cam: CameraIntrinsics,
-                       fps: float = 0.0, is_lost: bool = False) -> np.ndarray:
-    """Render the current frame with map overlays."""
+                       fps: float = 0.0, is_lost: bool = False,
+                       cylinder_cells=None,
+                       patch_size: int = 20) -> np.ndarray:
+    """Render the current frame with map overlays.  ``cylinder_cells`` is the
+    StepOutput's [C] union mask of detected cylinder inlier cells (reference
+    tints the cylinder grid-map cells, primitive_detection debug display)."""
     g = np.asarray(gray)
     img = np.clip(g, 0, 255).astype(np.uint8)
     rgb = np.stack([img, img, img], axis=-1)
+
+    # cylinder cells: tint the 20x20 cells claimed by cylinder sub-segments
+    if cylinder_cells is not None:
+        cells = np.asarray(cylinder_cells)
+        gw = cam.width // patch_size
+        for ci in np.nonzero(cells)[0]:
+            cy, cx = (ci // gw) * patch_size, (ci % gw) * patch_size
+            patch = rgb[cy:cy + patch_size, cx:cx + patch_size].astype(np.int32)
+            rgb[cy:cy + patch_size, cx:cx + patch_size] = np.minimum(
+                255, (patch * 2 + np.asarray(CYLINDER_COLOR)) // 3
+            ).astype(np.uint8)
 
     w2c = se3.world_to_camera(state.quat, state.position)
 

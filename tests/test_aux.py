@@ -132,3 +132,53 @@ class TestDebugImage:
         img_ok = render_debug_image(frames[0][0], state, CAM, is_lost=False)
         img_lost = render_debug_image(frames[0][0], state, CAM, is_lost=True)
         assert img_lost[50:, :, 0].mean() > img_ok[50:, :, 0].mean() + 30
+
+
+class TestConfigParity:
+    """Config fields must be live and derived from the reference's own formulas."""
+
+    def test_no_dead_detection_fields(self):
+        """Every DetectionConfig field is consumed somewhere in the package (the
+        round-1 optical_flow_max_error_px regression: a field nothing read)."""
+        import dataclasses
+        import pathlib
+
+        from rgbd_slam_tpu.config import DetectionConfig
+
+        pkg = pathlib.Path(__file__).resolve().parents[1] / "rgbd_slam_tpu"
+        src = "\n".join(p.read_text() for p in pkg.rglob("*.py")
+                        if p.name != "config.py")
+        for f in dataclasses.fields(DetectionConfig):
+            assert f.name in src, f"dead config field: DetectionConfig.{f.name}"
+
+    def test_fast_thresholds_follow_reference_curve(self):
+        """Defaults equal the reference's empirical curve 41.2378*0.99945^points at
+        10x / 30x maximumPointPerFrame (keypoint_detection.cpp:48-65)."""
+        from rgbd_slam_tpu.config import DetectionConfig
+
+        det = DetectionConfig()
+        assert det.fast_threshold == det.fast_threshold_curve(
+            10.0 * det.max_point_per_frame) == 24
+        assert det.fast_threshold_low == det.fast_threshold_curve(
+            30.0 * det.max_point_per_frame) == 8
+
+    def test_low_texture_uses_sensitive_tier(self):
+        """On a weak-texture image the high tier alone finds almost nothing; the
+        two-tier detector still yields points via the sensitive fallback
+        (keypoint_detection.cpp:435-452)."""
+        import jax.numpy as jnp
+
+        from rgbd_slam_tpu.ops import fast
+
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(
+            128.0 + 4.0 * rng.standard_normal((240, 320)), jnp.float32)
+        det = CFG.detection
+        _, _, valid_2tier = fast.detect_fast_grid(
+            img, threshold=float(det.fast_threshold),
+            low_threshold=float(det.fast_threshold_low), max_points=100)
+        _, _, valid_hi_only = fast.detect_fast_grid(
+            img, threshold=float(det.fast_threshold),
+            low_threshold=float(det.fast_threshold), max_points=100)
+        assert int(valid_2tier.sum()) > int(valid_hi_only.sum())
+        assert int(valid_2tier.sum()) > 20

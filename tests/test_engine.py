@@ -167,3 +167,42 @@ class TestEngineRobustness:
         # no features at all: tracking cannot succeed, pose must stay finite
         assert np.isfinite(np.asarray(out.position)).all()
         assert not bool(out.success) or int(state.frame_idx) == 1
+
+
+class TestCylinderPipeline:
+    """Cylinders flow end-to-end: detected in a tunnel scene, surfaced in the
+    step output and the debug image (reference: cylinder_segment.cpp:35-225 +
+    primitive_detection.cpp:437-476; CAPE tunnel is north-star config 3)."""
+
+    def test_tunnel_frame_detects_cylinder(self):
+        from rgbd_slam_tpu.synthetic import TunnelScene
+
+        scene = TunnelScene(CAM, radius_mm=1200.0)
+        q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        gray, depth = scene.render(q, np.zeros(3, np.float32))
+        state = engine.init_state(CAM, CFG)
+        state, out = engine.step(state, jnp.asarray(gray), jnp.asarray(depth),
+                                 CAM, CFG)
+        assert int(out.n_cylinders) >= 1, "tunnel frame found no cylinder"
+        assert int(out.cylinder_cells.sum()) >= 6
+        # a flat wall frame must NOT report cylinders
+        g2, d2 = render(q, np.zeros(3, np.float32))
+        state2 = engine.init_state(CAM, CFG)
+        state2, out2 = engine.step(state2, jnp.asarray(g2), jnp.asarray(d2),
+                                   CAM, CFG)
+        assert int(out2.n_cylinders) == 0
+
+    def test_debug_image_tints_cylinder_cells(self):
+        from rgbd_slam_tpu.io.debug_image import render_debug_image
+        from rgbd_slam_tpu.synthetic import TunnelScene
+
+        scene = TunnelScene(CAM, radius_mm=1200.0)
+        q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        gray, depth = scene.render(q, np.zeros(3, np.float32))
+        state = engine.init_state(CAM, CFG)
+        state, out = engine.step(state, jnp.asarray(gray), jnp.asarray(depth),
+                                 CAM, CFG)
+        img_with = render_debug_image(gray, state, CAM,
+                                      cylinder_cells=out.cylinder_cells)
+        img_without = render_debug_image(gray, state, CAM)
+        assert (img_with != img_without).any()
