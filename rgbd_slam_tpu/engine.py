@@ -128,12 +128,14 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
     gate = (cosang > cos_gate) & (d_diff < cfg.matching.max_plane_match_distance_mm)
     gate = gate & maps.alive(plane_map)[:, None] & det.valid[None, :]
 
-    # polygon overlap gate: the reference computes exact polygon inter/area
-    # (map_primitive.cpp:91-161).  Exact Sutherland-Hodgman clipping for all
-    # map x detection pairs is sequential-op-heavy on TPU, so the GATE uses the
-    # bounding-box overlap of both polygons in the map plane's basis — a tight
-    # surrogate for the mostly-convex CAPE footprints; exact polygon ops are
-    # still used for the merge/area bookkeeping.
+    # polygon overlap gate (map_primitive.cpp:91-161): the reference ranks
+    # hessian-gated candidates by the EXACT polygon intersection area and gates
+    # on interArea / detectedArea >= minimumPlaneOverlapToConsiderMatch.
+    # Exact Sutherland-Hodgman clips for every map x detection pair are
+    # sequential-op-heavy on TPU, so a bounding-box intersection SHORTLISTS the
+    # top-2 candidates per map plane (bbox inter-area upper-bounds polygon
+    # inter-area, so the true best is almost always shortlisted) and the exact
+    # convex clip then scores and gates only those.
     r = c2w[:3, :3]
     t = c2w[:3, 3]
     det_center_w = det.basis_center @ r.T + t
@@ -142,6 +144,8 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
 
     mp = plane_map.params.shape[0]
     nd = det.params.shape[0]
+    vmask = jnp.arange(det.poly_verts.shape[1])[None, :] < det.poly_count[:, None]
+    det_area = jax.vmap(poly.polygon_area)(det.poly_verts, det.poly_count)
 
     def overlap_row(mi):
         # all detected polygons' vertices in map plane mi's basis: [nd, V, 2]
@@ -151,28 +155,44 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
         verts2 = poly.project_to_plane(
             verts3, plane_map.basis_center[mi], plane_map.basis_u[mi],
             plane_map.basis_v[mi])
-        vmask = jnp.arange(det.poly_verts.shape[1])[None, :] < det.poly_count[:, None]
         big = 1e12
         det_min = jnp.min(jnp.where(vmask[..., None], verts2, big), axis=1)
         det_max = jnp.max(jnp.where(vmask[..., None], verts2, -big), axis=1)
 
         mverts = plane_map.poly_verts[mi]
-        mmask = jnp.arange(mverts.shape[0]) < plane_map.poly_count[mi]
+        mcount = plane_map.poly_count[mi]
+        mmask = jnp.arange(mverts.shape[0]) < mcount
         m_min = jnp.min(jnp.where(mmask[:, None], mverts, big), axis=0)
         m_max = jnp.max(jnp.where(mmask[:, None], mverts, -big), axis=0)
 
-        inter = jnp.prod(jnp.maximum(
-            jnp.minimum(det_max, m_max) - jnp.maximum(det_min, m_min), 0.0), axis=-1)
-        area_d = jnp.prod(jnp.maximum(det_max - det_min, 0.0), axis=-1)
-        area_m = jnp.prod(jnp.maximum(m_max - m_min, 1e-9))
-        denom = jnp.maximum(jnp.minimum(area_d, area_m), 1e-9)
-        return inter / denom
+        bbox_inter = jnp.prod(jnp.maximum(
+            jnp.minimum(det_max, m_max) - jnp.maximum(det_min, m_min), 0.0),
+            axis=-1)
+        shortlist_score = jnp.where(gate[mi], bbox_inter, -1.0)
+        _, top2 = jax.lax.top_k(shortlist_score, 2)
 
-    ious = jax.vmap(overlap_row)(jnp.arange(mp))
-    ious = jnp.where(gate, ious, -1.0)
-    best = jnp.argmax(ious, axis=1)
-    best_iou = jnp.take_along_axis(ious, best[:, None], axis=1)[:, 0]
-    ok = best_iou >= cfg.matching.min_plane_overlap_for_match
+        def exact(di):
+            inter = poly.convex_intersection_area(
+                mverts, mcount, verts2[di], det.poly_count[di])
+            ratio = inter / jnp.maximum(det_area[di], 1e-9)
+            ok = gate[mi, di] \
+                & (ratio >= cfg.matching.min_plane_overlap_for_match)
+            return jnp.where(ok, inter, -1.0)
+
+        inter2 = jax.vmap(exact)(top2)
+        pick = jnp.argmax(inter2)
+        return top2[pick], inter2[pick]
+
+    best, best_inter = jax.vmap(overlap_row)(jnp.arange(mp))
+    ok = best_inter > 0.0
+    # one detection matches at most one map plane (the reference marks
+    # detections as matched, map_primitive.cpp:122-124): ties go to the map
+    # plane with the larger intersection area
+    score = jnp.where(ok, best_inter, -1.0)
+    winner = jax.vmap(
+        lambda di: jnp.argmax(jnp.where(best == di, score, -1.0)))(
+        jnp.arange(nd))
+    ok = ok & (winner[best] == jnp.arange(mp))
     return jnp.where(ok, best, -1).astype(jnp.int32), det_world
 
 
@@ -408,19 +428,25 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     q_final = jnp.where(success, q_matched & opt.point2d_inliers, q_matched & False)
     k_final = jnp.where(success, k_matched & opt.plane_inliers, k_matched & False)
 
-    # 3D point Kalman updates (map_point.cpp:188-240): depth-valid observations fuse
-    # the world point; depth-less matches fuse along the ray with a large depth
-    # variance (stand-in for the reference's inverse-depth fusion of 2D obs)
-    obs_screen = jnp.stack([p_obs_uv[:, 0], p_obs_uv[:, 1],
-                            jnp.where(p_obs_depth_ok, p_obs_z,
-                                      jnp.linalg.norm(pts.pos - new_pos, axis=-1))],
-                           axis=-1)
-    obs_world = pinhole.screen_to_world(obs_screen, new_c2w, cam)
-    obs_cov = cov_mod.screen_point_to_world_covariance(
+    # 3D point Kalman updates (map_point.cpp:188-240): depth-valid observations
+    # fuse the world point; depth-less matches build a REAL inverse-depth
+    # observation from the 2D screen match (origin = camera, rho = baseline/2,
+    # initial angular/rho covariance) and fuse its cartesian projection with
+    # the J Sigma J^T covariance — the reference's update_with_match else-branch
+    # (map_point.cpp:218-240)
+    obs_screen = jnp.stack([p_obs_uv[:, 0], p_obs_uv[:, 1], p_obs_z], axis=-1)
+    obs_world_d = pinhole.screen_to_world(obs_screen, new_c2w, cam)
+    obs_cov_d = cov_mod.screen_point_to_world_covariance(
         obs_screen, new_c2w, cam, pose_cov3)
-    ray_inflation = jnp.eye(3, dtype=dt)[None] * 1e6
-    obs_cov = jnp.where(p_obs_depth_ok[:, None, None], obs_cov,
-                        obs_cov + ray_inflation)
+    obs_id_state = idp.from_screen_observation(
+        p_obs_uv, new_c2w, cam,
+        baseline_rho=det_cfg.inverse_depth_baseline / 2.0)
+    obs_id_cov = idt.initial_covariance(
+        jnp.broadcast_to(pose_cov3, (m3, 3, 3)), det_cfg)
+    obs_world = jnp.where(p_obs_depth_ok[:, None], obs_world_d,
+                          idp.to_world(obs_id_state))
+    obs_cov = jnp.where(p_obs_depth_ok[:, None, None], obs_cov_d,
+                        idt.cartesian_covariance(obs_id_state, obs_id_cov))
     upd_pos, upd_cov, _, moving = kalman.track_points(
         pts.pos, pts.cov, obs_world, obs_cov)
     do_upd = (p_final & pts_alive)[:, None]

@@ -206,3 +206,144 @@ class TestCylinderPipeline:
                                       cylinder_cells=out.cylinder_cells)
         img_without = render_debug_image(gray, state, CAM)
         assert (img_with != img_without).any()
+
+
+class TestPlaneMatchGate:
+    """Exact polygon intersection gate (map_primitive.cpp:91-161): rotated or
+    elongated footprints whose bounding boxes overlap but whose polygons do not
+    must be rejected; true overlaps must match."""
+
+    @staticmethod
+    def _plane_map_with_poly(verts2, normal=(-1.0, 0.0, 0.0), d=2500.0,
+                             center=(2500.0, 0.0, 0.0)):
+        pm = maps.empty_plane_map(CFG.mapping.max_planes)
+        n = np.asarray(normal, np.float32)
+        u = np.asarray([0.0, 1.0, 0.0], np.float32)
+        v = np.asarray([0.0, 0.0, 1.0], np.float32)
+        verts = np.zeros((pm.poly_verts.shape[1], 2), np.float32)
+        verts[:len(verts2)] = verts2
+        return pm._replace(
+            params=pm.params.at[0].set(jnp.asarray([*n, d])),
+            poly_verts=pm.poly_verts.at[0].set(jnp.asarray(verts)),
+            poly_count=pm.poly_count.at[0].set(len(verts2)),
+            basis_center=pm.basis_center.at[0].set(jnp.asarray(center)),
+            basis_u=pm.basis_u.at[0].set(jnp.asarray(u)),
+            basis_v=pm.basis_v.at[0].set(jnp.asarray(v)),
+            fid=pm.fid.at[0].set(1),
+            match_count=pm.match_count.at[0].set(1),
+        )
+
+    @staticmethod
+    def _detection_with_poly(verts2, normal=(0.0, 0.0, -1.0), d=2500.0,
+                             center=(0.0, 0.0, 2500.0)):
+        """Detection in CAMERA coordinates (optical: z forward); the axis
+        correction maps cam z->world x, cam -x->world y, cam -y->world z, so
+        basis u=(-1,0,0), v=(0,-1,0) lands on the map's world (y, z) basis."""
+        from rgbd_slam_tpu.features.primitives import (MAX_PLANES,
+                                                       DetectedPlanes)
+
+        nverts = 16
+        params = np.zeros((MAX_PLANES, 4), np.float32)
+        params[0] = [*normal, d]
+        pv = np.zeros((MAX_PLANES, nverts, 2), np.float32)
+        pv[0, :len(verts2)] = verts2
+        pc = np.zeros((MAX_PLANES,), np.int32)
+        pc[0] = len(verts2)
+        zeros3 = np.zeros((MAX_PLANES, 3), np.float32)
+        bc, bu, bv = zeros3.copy(), zeros3.copy(), zeros3.copy()
+        bc[0] = center
+        bu[0] = [-1.0, 0.0, 0.0]
+        bv[0] = [0.0, -1.0, 0.0]
+        valid = np.zeros((MAX_PLANES,), bool)
+        valid[0] = True
+        return DetectedPlanes(
+            params=jnp.asarray(params), centroid=jnp.asarray(bc),
+            mse=jnp.zeros((MAX_PLANES,)), point_count=jnp.asarray(pc, jnp.float32),
+            cloud_cov=jnp.tile(jnp.eye(3)[None], (MAX_PLANES, 1, 1)),
+            poly_verts=jnp.asarray(pv), poly_count=jnp.asarray(pc),
+            basis_center=jnp.asarray(bc), basis_u=jnp.asarray(bu),
+            basis_v=jnp.asarray(bv),
+            cell_mask=jnp.zeros((MAX_PLANES, 192), bool),
+            valid=jnp.asarray(valid))
+
+    def _match(self, map_poly, det_poly):
+        c2w = se3.camera_to_world(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                                  jnp.zeros(3, jnp.float32))
+        pm = self._plane_map_with_poly(map_poly)
+        det = self._detection_with_poly(det_poly)
+        idx, _ = engine._match_planes(pm, det, c2w, CFG)
+        return int(idx[0])
+
+    def test_true_overlap_matches(self):
+        square = [(-500, -500), (500, -500), (500, 500), (-500, 500)]
+        assert self._match(square, square) == 0
+
+    def test_diagonal_slivers_bbox_overlaps_polygons_dont(self):
+        """Two thin diagonal slivers on opposite diagonals: bounding boxes are
+        identical (full overlap) but the polygons barely intersect."""
+        a = [(-1000, -1000), (-900, -1000), (1000, 900), (1000, 1000),
+             (900, 1000), (-1000, -900)]
+        b = [(1000, -1000), (1000, -900), (-900, 1000), (-1000, 1000),
+             (-1000, 900), (900, -1000)]
+        # same-plane parameters -> hessian gate passes; bbox IoU = 1.0
+        assert self._match(a, b) == -1
+
+    def test_small_corner_overlap_rejected(self):
+        """Overlap below the 0.4 inter/area threshold is rejected."""
+        a = [(-1000, -1000), (0, -1000), (0, 0), (-1000, 0)]
+        b = [(-200, -200), (800, -200), (800, 800), (-200, 800)]
+        # intersection = 200x200 = 4e4; det area = 1e6 -> ratio 0.04 < 0.4
+        assert self._match(a, b) == -1
+
+
+class TestDepthlessFusion:
+    """Depth-less 3D-point observations fuse a real inverse-depth observation's
+    cartesian projection (map_point.cpp:188-240), not a diagonal inflation."""
+
+    def test_observation_on_ray_with_ray_aligned_covariance(self):
+        from rgbd_slam_tpu.geometry import inverse_depth as idp
+        from rgbd_slam_tpu.geometry import pinhole
+        from rgbd_slam_tpu.tracking import inverse_depth_tracking as idt
+
+        det = CFG.detection
+        c2w = se3.camera_to_world(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                                  jnp.zeros(3, jnp.float32))
+        uv = jnp.asarray([[200.0, 100.0]], jnp.float32)
+        state = idp.from_screen_observation(
+            uv, c2w, CAM, baseline_rho=det.inverse_depth_baseline / 2.0)
+        world = np.asarray(idp.to_world(state))[0]
+        # the projected observation sits on the camera ray through uv at
+        # depth 2/baseline (rho = baseline/2)
+        scr, ok = pinhole.world_to_screen(jnp.asarray(world[None]),
+                                          se3.world_to_camera(
+                                              jnp.asarray([1.0, 0, 0, 0],
+                                                          jnp.float32),
+                                              jnp.zeros(3, jnp.float32)), CAM)
+        assert bool(ok[0])
+        np.testing.assert_allclose(np.asarray(scr)[0, :2], [200.0, 100.0],
+                                   atol=0.1)
+        assert abs(np.linalg.norm(world) - 2.0 / det.inverse_depth_baseline) \
+            < 1.0
+
+        cov66 = idt.initial_covariance(
+            jnp.broadcast_to(jnp.eye(3) * 1e-6, (1, 3, 3)), det)
+        cov3 = np.asarray(idt.cartesian_covariance(state, cov66))[0]
+        # covariance is far larger along the ray than across it
+        ray = world / np.linalg.norm(world)
+        along = ray @ cov3 @ ray
+        eigs = np.linalg.eigvalsh(cov3)
+        across = eigs[0]
+        assert along / across > 100.0
+
+    def test_depthless_match_still_updates_point(self):
+        """A frame whose matched points lose depth must still fuse (the
+        reference never skips the update)."""
+        quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        state = engine.init_state(CAM, CFG)
+        for i in range(3):
+            g, d = render(quat, jnp.asarray([0.0, 4.0 * i, 0.0], jnp.float32))
+            state, out = engine.step(state, g, d, CAM, CFG)
+        g, d = render(quat, jnp.asarray([0.0, 12.0, 0.0], jnp.float32))
+        state, out = engine.step(state, g, jnp.zeros_like(d), CAM, CFG)
+        assert np.isfinite(np.asarray(state.points.pos)).all()
+        assert np.isfinite(np.asarray(state.points.cov)).all()
