@@ -33,10 +33,12 @@ class KeyframeWindow:
 
     poses: list = field(default_factory=list)        # [K] 6-coeff np arrays
     timestamps: list = field(default_factory=list)
+    frame_ids: list = field(default_factory=list)    # [K] source frame index
     obs: dict = field(default_factory=dict)          # fid -> list[(kf_idx, uv)]
     landmark_pos: dict = field(default_factory=dict) # fid -> last map position
 
-    def add_keyframe(self, quat, position, output, point_positions, timestamp=0.0):
+    def add_keyframe(self, quat, position, output, point_positions, timestamp=0.0,
+                     frame_id=None):
         """Record a keyframe from an engine step output.
 
         point_positions: the map's current world positions aligned with the output's
@@ -45,6 +47,7 @@ class KeyframeWindow:
         self.poses.append(np.asarray(
             se3.pose_to_coefficients(jnp.asarray(quat), jnp.asarray(position))))
         self.timestamps.append(float(timestamp))
+        self.frame_ids.append(kf_idx if frame_id is None else int(frame_id))
 
         matched = np.asarray(output.point_matched)
         fids = np.asarray(output.point_fid)
@@ -64,6 +67,7 @@ class KeyframeWindow:
     def _drop_oldest(self):
         self.poses.pop(0)
         self.timestamps.pop(0)
+        self.frame_ids.pop(0)
         new_obs = {}
         for fid, entries in self.obs.items():
             kept = [(k - 1, uv) for k, uv in entries if k > 0]
@@ -128,3 +132,16 @@ class KeyframeWindow:
         lm_out = {int(fids[i]): np.asarray(new_lm[i])
                   for i in range(new_lm.shape[0])}
         return refined, lm_out, np.asarray(costs)
+
+    def apply_refinement(self, refined, lm_out):
+        """Write refined poses/landmarks back into the window so the next refine
+        starts from the improved estimate (the live-pipeline feedback path the
+        reference leaves as an empty TODO, local_map.hpp:263-266)."""
+        new_poses = []
+        for quat, pos in refined:
+            new_poses.append(np.asarray(se3.pose_to_coefficients(
+                jnp.asarray(quat, jnp.float32), jnp.asarray(pos, jnp.float32))))
+        self.poses = new_poses
+        for fid, pos in lm_out.items():
+            if fid in self.landmark_pos:
+                self.landmark_pos[fid] = np.asarray(pos)

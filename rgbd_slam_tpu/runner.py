@@ -29,6 +29,14 @@ class RunStats:
     total_step_s: float = 0.0
     total_host_s: float = 0.0
     compile_s: float = 0.0
+    ba_runs: int = 0
+    ba_accepted: int = 0
+    ba_total_s: float = 0.0
+    ba_total_iters: int = 0
+
+    @property
+    def ba_iters_per_s(self):
+        return self.ba_total_iters / self.ba_total_s if self.ba_total_s > 0 else 0.0
 
     @property
     def mean_step_ms(self):
@@ -46,17 +54,52 @@ class RunStats:
                 f"fps={self.fps:.1f}")
 
 
+def _scatter_ba_landmarks(state: engine.SlamState, lm_out: dict,
+                          max_shift_mm: float = 300.0) -> engine.SlamState:
+    """Write BA-refined landmark positions back into the live point map by feature
+    id.  This fills the reference's empty ``update_local_to_global`` TODO
+    (local_map.hpp:263-266): the backend's refinement feeds the front end's map.
+
+    Refinements larger than ``max_shift_mm`` are rejected as divergent."""
+    fid_arr = np.asarray(state.points.fid)
+    pos_arr = np.array(state.points.pos)
+    idx_of = {int(f): s for s, f in enumerate(fid_arr) if f >= 0}
+    for fid, p in lm_out.items():
+        s = idx_of.get(int(fid))
+        if s is None:
+            continue
+        if np.linalg.norm(p - pos_arr[s]) > max_shift_mm:
+            continue
+        pos_arr[s] = p
+    return state._replace(
+        points=state.points._replace(pos=jnp.asarray(pos_arr, jnp.float32)))
+
+
 def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                with_planes: bool = True, seed: int = 0,
                state: engine.SlamState | None = None,
-               on_frame=None):
+               on_frame=None,
+               ba_every: int | None = None, ba_window: int = 8,
+               ba_iterations: int = 8, ba_mesh=None):
     """Run the engine over an iterable of (gray, depth[, timestamp]) frames.
+
+    When ``ba_every`` is set, a sliding :class:`KeyframeWindow` collects per-frame
+    point observations and the windowed Schur BA backend refines poses + landmarks
+    every ``ba_every`` frames; refined landmarks are scattered back into the live
+    point map and refined poses retroactively correct the trajectory (the
+    keyframe/backend layer the reference plans but never builds,
+    local_map.hpp:263-266, README.md:152-158).
 
     Returns (final_state, Trajectory, RunStats)."""
     if state is None:
         state = engine.init_state(cam, cfg, seed=seed)
     traj = Trajectory()
     stats = RunStats()
+
+    window = None
+    if ba_every:
+        from .parallel.keyframes import KeyframeWindow
+        window = KeyframeWindow(max_keyframes=ba_window)
 
     for i, frame in enumerate(frames):
         if len(frame) == 3:
@@ -80,6 +123,27 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
         stats.success_count += int(out.success)
         stats.lost_count += int(out.is_lost)
         traj.append(ts, np.asarray(out.position), np.asarray(out.quat))
+
+        if window is not None and bool(out.success):
+            window.add_keyframe(out.quat, out.position, out, state.points.pos,
+                                timestamp=ts, frame_id=i)
+            if window.n_keyframes >= 3 and (i + 1) % ba_every == 0:
+                t_ba = time.time()
+                res = window.refine(cam, iterations=ba_iterations, mesh=ba_mesh)
+                if res is not None:
+                    refined, lm_out, costs = res
+                    stats.ba_runs += 1
+                    stats.ba_total_s += time.time() - t_ba
+                    stats.ba_total_iters += ba_iterations
+                    if np.isfinite(costs).all() and costs[-1] < costs[0]:
+                        stats.ba_accepted += 1
+                        window.apply_refinement(refined, lm_out)
+                        state = _scatter_ba_landmarks(state, lm_out)
+                        for kf, fi in enumerate(window.frame_ids):
+                            q, p = refined[kf]
+                            traj.positions[fi] = np.asarray(p, np.float64)
+                            traj.quaternions[fi] = np.asarray(q, np.float64)
+
         if on_frame is not None:
             on_frame(i, state, out, dt)
 

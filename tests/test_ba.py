@@ -167,6 +167,21 @@ class TestKeyframeWindow:
         for (q, p), (gt_q, gt_p) in zip(refined, poses):
             assert np.linalg.norm(p - np.asarray(gt_p)) < 15.0
 
+    def test_refine_apply_feeds_back(self, rng):
+        """apply_refinement writes refined poses/landmarks into the window."""
+        cam, window, poses = self._run_engine_window()
+        result = window.refine(cam, iterations=6)
+        assert result is not None
+        refined, lm, costs = result
+        window.apply_refinement(refined, lm)
+        from rgbd_slam_tpu.geometry import se3
+        q0, p0 = refined[-1]
+        np.testing.assert_allclose(
+            window.poses[-1],
+            np.asarray(se3.pose_to_coefficients(jnp.asarray(q0, jnp.float32),
+                                                jnp.asarray(p0, jnp.float32))),
+            atol=1e-5)
+
     def test_window_slides(self):
         from rgbd_slam_tpu.parallel.keyframes import KeyframeWindow
 
@@ -182,3 +197,43 @@ class TestKeyframeWindow:
                            np.zeros((4, 3)), timestamp=i)
         assert w.n_keyframes == 3
         assert w.timestamps == [2.0, 3.0, 4.0]
+
+
+class TestLiveBAIntegration:
+    """run_frames(ba_every=N): the BA backend runs inside the live pipeline,
+    scatters refined landmarks back into the map and retro-corrects the
+    trajectory (fills the reference's update_local_to_global TODO,
+    local_map.hpp:263-266)."""
+
+    def _run(self, ba_every=None):
+        from rgbd_slam_tpu.config import (DepthNoiseModel, EngineConfig,
+                                          MappingConfig, SlamConfig)
+        from rgbd_slam_tpu.runner import evaluate_against_ground_truth, run_frames
+        from rgbd_slam_tpu.synthetic import RoomScene, orbit_trajectory
+
+        cam = CameraIntrinsics(width=320, height=240, fx=260.0, fy=260.0,
+                               cx=160.0, cy=120.0)
+        cfg = SlamConfig(
+            mapping=MappingConfig(max_points_3d=128, max_points_2d=32,
+                                  max_planes=8, max_tracked_points=64),
+            engine=EngineConfig(pose_covariance_mc_iterations=8,
+                                lm_iterations=8, ransac_hypothesis_batch=16))
+        scene = RoomScene(cam, depth_noise=DepthNoiseModel())
+        poses = orbit_trajectory(30, speed_mm=5.0, yaw_rate_d=0.05)
+        frames = [scene.render(q, p) for q, p in poses]
+        gt = np.stack([p for _, p in poses])
+        _, traj, stats = run_frames(frames, cam, cfg, with_planes=False,
+                                    ba_every=ba_every, ba_window=8,
+                                    ba_iterations=6)
+        ate = evaluate_against_ground_truth(traj, gt)["ate_rmse_mm"]
+        return ate, stats
+
+    def test_ba_on_beats_ba_off(self):
+        ate_off, _ = self._run(ba_every=None)
+        ate_on, stats = self._run(ba_every=4)
+        assert stats.ba_runs >= 3, f"BA only ran {stats.ba_runs} times"
+        assert stats.ba_accepted >= 1, "no BA solve was accepted"
+        assert stats.ba_iters_per_s > 0
+        assert np.isfinite(ate_on) and np.isfinite(ate_off)
+        assert ate_on < ate_off, (
+            f"BA-on ATE {ate_on:.2f}mm should beat BA-off {ate_off:.2f}mm")
