@@ -131,11 +131,8 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
     # polygon overlap gate (map_primitive.cpp:91-161): the reference ranks
     # hessian-gated candidates by the EXACT polygon intersection area and gates
     # on interArea / detectedArea >= minimumPlaneOverlapToConsiderMatch.
-    # Exact Sutherland-Hodgman clips for every map x detection pair are
-    # sequential-op-heavy on TPU, so a bounding-box intersection SHORTLISTS the
-    # top-2 candidates per map plane (bbox inter-area upper-bounds polygon
-    # inter-area, so the true best is almost always shortlisted) and the exact
-    # convex clip then scores and gates only those.
+    # The Green's-theorem intersection (utils/polygon.py) is O(V^2) fully
+    # parallel, so the exact area is computed for EVERY map x detection pair.
     r = c2w[:3, :3]
     t = c2w[:3, 3]
     det_center_w = det.basis_center @ r.T + t
@@ -144,46 +141,26 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
 
     mp = plane_map.params.shape[0]
     nd = det.params.shape[0]
-    vmask = jnp.arange(det.poly_verts.shape[1])[None, :] < det.poly_count[:, None]
     det_area = jax.vmap(poly.polygon_area)(det.poly_verts, det.poly_count)
 
-    def overlap_row(mi):
-        # all detected polygons' vertices in map plane mi's basis: [nd, V, 2]
-        verts3 = (det_center_w[:, None, :]
-                  + det.poly_verts[..., 0:1] * det_u_w[:, None, :]
-                  + det.poly_verts[..., 1:2] * det_v_w[:, None, :])
-        verts2 = poly.project_to_plane(
-            verts3, plane_map.basis_center[mi], plane_map.basis_u[mi],
-            plane_map.basis_v[mi])
-        big = 1e12
-        det_min = jnp.min(jnp.where(vmask[..., None], verts2, big), axis=1)
-        det_max = jnp.max(jnp.where(vmask[..., None], verts2, -big), axis=1)
+    # all detected polygons' vertices in every map plane's basis: [mp, nd, V, 2]
+    verts3 = (det_center_w[:, None, :]
+              + det.poly_verts[..., 0:1] * det_u_w[:, None, :]
+              + det.poly_verts[..., 1:2] * det_v_w[:, None, :])       # [nd, V, 3]
+    rel = verts3[None] - plane_map.basis_center[:, None, None, :]
+    verts2 = jnp.stack([
+        jnp.sum(rel * plane_map.basis_u[:, None, None, :], axis=-1),
+        jnp.sum(rel * plane_map.basis_v[:, None, None, :], axis=-1)], axis=-1)
 
-        mverts = plane_map.poly_verts[mi]
-        mcount = plane_map.poly_count[mi]
-        mmask = jnp.arange(mverts.shape[0]) < mcount
-        m_min = jnp.min(jnp.where(mmask[:, None], mverts, big), axis=0)
-        m_max = jnp.max(jnp.where(mmask[:, None], mverts, -big), axis=0)
-
-        bbox_inter = jnp.prod(jnp.maximum(
-            jnp.minimum(det_max, m_max) - jnp.maximum(det_min, m_min), 0.0),
-            axis=-1)
-        shortlist_score = jnp.where(gate[mi], bbox_inter, -1.0)
-        _, top2 = jax.lax.top_k(shortlist_score, 2)
-
-        def exact(di):
-            inter = poly.convex_intersection_area(
-                mverts, mcount, verts2[di], det.poly_count[di])
-            ratio = inter / jnp.maximum(det_area[di], 1e-9)
-            ok = gate[mi, di] \
-                & (ratio >= cfg.matching.min_plane_overlap_for_match)
-            return jnp.where(ok, inter, -1.0)
-
-        inter2 = jax.vmap(exact)(top2)
-        pick = jnp.argmax(inter2)
-        return top2[pick], inter2[pick]
-
-    best, best_inter = jax.vmap(overlap_row)(jnp.arange(mp))
+    inter = jax.vmap(  # over map planes
+        jax.vmap(poly.convex_intersection_area, in_axes=(None, None, 0, 0)),
+        in_axes=(0, 0, 0, None))(
+        plane_map.poly_verts, plane_map.poly_count, verts2, det.poly_count)
+    ratio = inter / jnp.maximum(det_area[None, :], 1e-9)
+    ok_pair = gate & (ratio >= cfg.matching.min_plane_overlap_for_match)
+    pair_score = jnp.where(ok_pair, inter, -1.0)
+    best = jnp.argmax(pair_score, axis=1)
+    best_inter = jnp.take_along_axis(pair_score, best[:, None], axis=1)[:, 0]
     ok = best_inter > 0.0
     # one detection matches at most one map plane (the reference marks
     # detections as matched, map_primitive.cpp:122-124): ties go to the map

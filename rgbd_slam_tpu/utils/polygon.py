@@ -15,7 +15,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_VERTS = 32
+#: polygon vertex capacity.  Polygons store only STRICT corners (collinear and
+#: micro-concave vertices are dropped by _drop_flat_vertices), so 16 slots hold
+#: any realistic convex footprint; smaller capacity quadratically shrinks the
+#: all-pairs O(V^2) intersection work in the plane-match gate.
+MAX_VERTS = 16
 
 
 def plane_basis(normal):
@@ -42,10 +46,80 @@ def unproject_from_plane(pts2, center, u, v):
     return center + pts2[..., 0:1] * u + pts2[..., 1:2] * v
 
 
+def _convexify(verts, count):
+    """True convex hull of the first ``count`` vertices, CCW-ordered.
+
+    TPU-native O(V^3) membership test with zero sequential dependencies: the
+    directed edge i->j lies on the hull iff every other active point is on its
+    left (cross >= -eps); a point is a hull vertex iff it has an outgoing hull
+    edge.  Hull vertices are then angle-ordered around their own centroid.
+
+    Returns (verts [V, 2], count) padded with verts[0]."""
+    n = verts.shape[0]
+    act = jnp.arange(n) < count
+    d = verts[None, :, :] - verts[:, None, :]        # [i, j, 2] = pj - pi
+    dn = jnp.sum(d * d, axis=-1)                     # [i, j]
+    cross = d[:, :, None, 0] * d[:, None, :, 1] \
+        - d[:, :, None, 1] * d[:, None, :, 0]        # [i, j, k] = (pj-pi)x(pk-pi)
+    eps = 1e-5 * jnp.sqrt(dn[:, :, None] * dn[:, None, :] + 1e-30)
+    k_ok = ~act[None, None, :] | (cross >= -eps)
+    edge = act[:, None] & act[None, :] & (dn > 1e-12) & jnp.all(k_ok, axis=-1)
+    on_hull = jnp.any(edge, axis=1) & act
+
+    hcnt = jnp.maximum(jnp.sum(on_hull), 1)
+    centroid = jnp.sum(jnp.where(on_hull[:, None], verts, 0.0), axis=0) / hcnt
+    rel = verts - centroid
+    ang = jnp.where(on_hull, jnp.arctan2(rel[:, 1], rel[:, 0]), 1e9)
+    order = jnp.argsort(ang)
+    out = verts[order]
+    out_cnt = jnp.sum(on_hull)
+    out = jnp.where((jnp.arange(n) < out_cnt)[:, None], out, out[0])
+    return _drop_flat_vertices(out, out_cnt)
+
+
+def _drop_flat_vertices(verts, count, eps_rel=1e-4, iters=3):
+    """Remove collinear and micro-concave vertices from an ordered cycle, keeping
+    only strict corners (turn angle sin > eps_rel).
+
+    This is load-bearing for numerical robustness, not just size: a vertex that
+    is collinear up to f32 noise makes its two edge LINES nearly parallel to the
+    boundary, and any half-plane clip against such a line (e.g. matching a plane
+    polygon against itself next frame) computes intersection parameters as
+    noise/noise — slicing large bogus slivers out of the exact intersection."""
+    n = verts.shape[0]
+    idx = jnp.arange(n)
+
+    def one_pass(carry, _):
+        verts, count = carry
+        act = idx < count
+        last = verts[jnp.clip(count - 1, 0, n - 1)]
+        nxt = jnp.where((idx == count - 1)[:, None], verts[0][None],
+                        jnp.roll(verts, -1, axis=0))
+        prv = jnp.where((idx == 0)[:, None], last[None],
+                        jnp.roll(verts, 1, axis=0))
+        e1 = verts - prv
+        e2 = nxt - verts
+        cr = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        l1l2 = jnp.sqrt(jnp.sum(e1 * e1, -1) * jnp.sum(e2 * e2, -1))
+        keep = act & (cr > eps_rel * l1l2)
+        newc = jnp.sum(keep)
+        order = jnp.argsort(~keep, stable=True)
+        out = verts[order]
+        out = jnp.where((idx < newc)[:, None], out, out[0])
+        return (out, newc), None
+
+    (verts, count), _ = jax.lax.scan(one_pass, (verts, count), None, length=iters)
+    return verts, count
+
+
 def convex_hull_by_angle(pts2, mask, max_verts: int = MAX_VERTS):
-    """Star-shaped ordering of masked 2D points around their centroid, decimated to
-    ``max_verts`` — the device-friendly stand-in for the reference's concave-hull
-    boundary fit (third_party concave_fitting, noted unreliable in its own README).
+    """Convex hull of masked 2D points, capped at ``max_verts`` vertices: angular
+    decimation around the centroid (bounds the candidate count) followed by an
+    exact parallel convex hull of the survivors.  Replaces the reference's
+    concave-hull boundary fit (third_party concave_fitting, noted unreliable in
+    its own README; convex-only is the SURVEY §7 sanctioned simplification) —
+    and guarantees the module's convex-polygon invariant that the Green's-theorem
+    intersection relies on.
 
     Returns (verts [max_verts, 2], count)."""
     n = pts2.shape[0]
@@ -66,7 +140,7 @@ def convex_hull_by_angle(pts2, mask, max_verts: int = MAX_VERTS):
     verts = sorted_pts[idx]
     vmask = sorted_mask[idx] & (jnp.arange(max_verts) < count)
     verts = jnp.where(vmask[:, None], verts, verts[0])
-    return verts, count
+    return _convexify(verts, count)
 
 
 def polygon_area(verts, count):
@@ -81,74 +155,86 @@ def polygon_area(verts, count):
     return 0.5 * jnp.abs(jnp.sum(jnp.where(active, cross, 0.0)))
 
 
-def clip_polygon_halfplane(verts, count, a, b, c, max_out: int):
-    """Sutherland-Hodgman clip of polygon by half-plane ``a x + b y <= c``.
-    Masked, fixed-capacity.  Returns (verts [max_out, 2], count)."""
+def _edges(verts, count):
+    """Directed edge list (start, end, active) with wraparound at ``count``."""
     n = verts.shape[0]
     idx = jnp.arange(n)
-    active = idx < count
-    cur = verts
     nxt = jnp.roll(verts, -1, axis=0)
     nxt = jnp.where((idx == count - 1)[:, None], verts[0], nxt)
+    return verts, nxt, idx < count
 
-    f_cur = a * cur[:, 0] + b * cur[:, 1] - c
-    f_nxt = a * nxt[:, 0] + b * nxt[:, 1] - c
-    cur_in = f_cur <= 0
-    nxt_in = f_nxt <= 0
 
-    denom = f_cur - f_nxt
-    t = jnp.where(jnp.abs(denom) > 1e-12, f_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
-    inter = cur + t[:, None] * (nxt - cur)
+def _as_ccw(verts, count):
+    """Reorder the first ``count`` vertices counter-clockwise (no-op if already)."""
+    v, nxt, act = _edges(verts, count)
+    signed = jnp.sum(jnp.where(act, v[:, 0] * nxt[:, 1] - v[:, 1] * nxt[:, 0], 0.0))
+    n = verts.shape[0]
+    idx = jnp.arange(n)
+    ridx = jnp.where(idx < count, count - 1 - idx, idx)
+    return jnp.where(signed >= 0, verts, verts[jnp.clip(ridx, 0, n - 1)])
 
-    # each edge emits up to 2 points: cur (if inside), intersection (if crossing)
-    emit_cur = active & cur_in
-    emit_int = active & (cur_in ^ nxt_in)
-    pts = jnp.stack([cur, inter], axis=1).reshape(2 * n, 2)
-    emit = jnp.stack([emit_cur, emit_int], axis=1).reshape(2 * n)
 
-    # compact: stable sort by ~emit keeps order of emitted points
-    order = jnp.argsort(~emit, stable=True)
-    out_pts = pts[order][:max_out]
-    out_cnt = jnp.minimum(jnp.sum(emit), max_out)
-    out_pts = jnp.where((jnp.arange(max_out) < out_cnt)[:, None], out_pts, out_pts[0])
-    return out_pts, out_cnt
+def _clipped_boundary_integral(av, an, aact, bv, bn, bact, strict=False):
+    """Green's-theorem contribution of A's edges clipped to the inside of convex
+    CCW polygon B: each edge p0->p1 of A intersected with every half-plane of B
+    gives a feasible t-interval in closed form; the surviving sub-segment [u, w]
+    contributes cross(u, w)/2 to the boundary integral.  Fully parallel over the
+    [n_a, n_b] edge-pair grid — no sequential clipping.
+
+    ``strict=True`` treats lying exactly ON a B edge line as outside — used for
+    the second pass so collinear shared boundary segments are counted once."""
+    d = an - av                                       # [n, 2]
+    eb = bn - bv                                      # [m, 2]
+    rel = av[:, None, :] - bv[None, :, :]             # [n, m, 2]
+    # inside(B, p) per CCW edge j: cross(eb_j, p - bv_j) >= 0, affine in t:
+    alpha = eb[None, :, 0] * rel[..., 1] - eb[None, :, 1] * rel[..., 0]
+    beta = eb[None, :, 0] * d[:, None, 1] - eb[None, :, 1] * d[:, None, 0]
+    # noise-robust classification: alpha/beta are cross products in area units,
+    # so thresholds scale with the participating lengths.  A near-parallel edge
+    # pair (|sin| < 1e-4) must NOT clip via t = -alpha/beta: both quantities are
+    # f32 rounding noise there and the quotient slices bogus slivers.
+    ebn = jnp.sqrt(jnp.sum(eb * eb, axis=-1))         # [m]
+    dn = jnp.sqrt(jnp.sum(d * d, axis=-1))            # [n]
+    reln = jnp.sqrt(jnp.sum(rel * rel, axis=-1))      # [n, m]
+    par = jnp.abs(beta) <= 1e-4 * ebn[None, :] * dn[:, None] + 1e-30
+    tol_a = 1e-4 * ebn[None, :] * (reln + dn[:, None]) + 1e-30
+    pos = ~par & (beta > 0)
+    neg = ~par & (beta < 0)
+    lo_j = jnp.where(pos, -alpha / jnp.where(pos, beta, 1.0), -jnp.inf)
+    hi_j = jnp.where(neg, -alpha / jnp.where(neg, beta, 1.0), jnp.inf)
+    # parallel constraint: always satisfied or never; lying ON the line counts
+    # as inside only for the non-strict pass (shared collinear boundary is then
+    # integrated exactly once across the two passes)
+    inside_par = (alpha > tol_a) if strict else (alpha >= -tol_a)
+    hi_j = jnp.where(par & ~inside_par, -jnp.inf, hi_j)
+    lo_j = jnp.where(bact[None, :], lo_j, -jnp.inf)
+    hi_j = jnp.where(bact[None, :], hi_j, jnp.inf)
+    t_lo = jnp.clip(jnp.max(lo_j, axis=1), 0.0, 1.0)
+    t_hi = jnp.clip(jnp.min(hi_j, axis=1), 0.0, 1.0)
+    ok = aact & (t_hi > t_lo)
+    u = av + t_lo[:, None] * d
+    w = av + t_hi[:, None] * d
+    contrib = 0.5 * (u[:, 0] * w[:, 1] - u[:, 1] * w[:, 0])
+    return jnp.sum(jnp.where(ok, contrib, 0.0))
 
 
 def convex_intersection_area(verts_a, count_a, verts_b, count_b):
-    """Area of the intersection of two convex polygons (Sutherland-Hodgman: clip A by
-    every edge of B)."""
-    n_b = verts_b.shape[0]
-    max_out = verts_a.shape[0] + n_b + 4
+    """Exact area of the intersection of two convex polygons.
 
-    pad = max_out - verts_a.shape[0]
-    cur = jnp.pad(verts_a, ((0, pad), (0, 0)))
-    cnt = count_a
-
-    idx = jnp.arange(n_b)
-    nxt = jnp.roll(verts_b, -1, axis=0)
-    nxt = jnp.where((idx == count_b - 1)[:, None], verts_b[0], nxt)
-
-    def body(i, carry):
-        cur, cnt = carry
-        p0 = verts_b[i]
-        p1 = nxt[i]
-        # inside = left of edge p0->p1 for CCW; use centroid sign to be orientation-safe
-        e = p1 - p0
-        a_coef = -e[1]
-        b_coef = e[0]
-        c_coef = a_coef * p0[0] + b_coef * p0[1]
-        # orient so B's centroid is inside
-        centroid = jnp.sum(
-            jnp.where((jnp.arange(n_b) < count_b)[:, None], verts_b, 0.0), axis=0
-        ) / jnp.maximum(count_b, 1)
-        sign = jnp.where(a_coef * centroid[0] + b_coef * centroid[1] - c_coef <= 0, 1.0, -1.0)
-        new_cur, new_cnt = clip_polygon_halfplane(
-            cur, cnt, sign * a_coef, sign * b_coef, sign * c_coef, max_out)
-        skip = i >= count_b
-        return (jnp.where(skip, cur, new_cur), jnp.where(skip, cnt, new_cnt))
-
-    cur, cnt = jax.lax.fori_loop(0, n_b, body, (cur, cnt))
-    return polygon_area(cur, cnt)
+    TPU-native design: the boundary of A∩B consists of sub-segments of A's edges
+    inside B plus sub-segments of B's edges inside A, each computable independently
+    by interval-clipping against the other polygon's half-planes; Green's theorem
+    sums their cross-product contributions to the exact area.  O(n·m) elementwise
+    work with zero sequential dependencies (replaces the Sutherland-Hodgman
+    fori_loop, which serialized ~n·m tiny ops on device)."""
+    va = _as_ccw(verts_a, count_a)
+    vb = _as_ccw(verts_b, count_b)
+    av, an, aact = _edges(va, count_a)
+    bv, bn, bact = _edges(vb, count_b)
+    area = _clipped_boundary_integral(av, an, aact, bv, bn, bact) \
+        + _clipped_boundary_integral(bv, bn, bact, av, an, aact, strict=True)
+    valid = (count_a >= 3) & (count_b >= 3)
+    return jnp.where(valid, jnp.maximum(area, 0.0), 0.0)
 
 
 def polygon_iou(verts_a, count_a, verts_b, count_b):
