@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-d", "--dataset", required=True, help="TUM sequence directory")
     ap.add_argument("-c", "--camera", default="tum_fr1", choices=sorted(CAMERAS))
+    ap.add_argument("--camera-yaml", default="",
+                    help="camera YAML (reference configuration_example.yaml "
+                         "format); overrides -c")
     ap.add_argument("-n", "--max-frames", type=int, default=0)
     ap.add_argument("-o", "--trajectory-out", default="")
     ap.add_argument("-m", "--map-out", default="")
@@ -44,7 +47,12 @@ def main():
                     help="use the C++ prefetching PNG loader")
     args = ap.parse_args()
 
-    cam = CAMERAS[args.camera]
+    if args.camera_yaml:
+        from rgbd_slam_tpu.config import load_camera_yaml
+
+        cam = load_camera_yaml(args.camera_yaml).rgb
+    else:
+        cam = CAMERAS[args.camera]
     cfg = SlamConfig()
     index = datasets.index_tum(args.dataset)
     if args.max_frames:

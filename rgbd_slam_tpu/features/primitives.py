@@ -583,7 +583,16 @@ def _merge_planes(p_cnt, p_mean, p_m2, p_cellmask, plane_valid, gh, gw,
     TPU design: instead of the reference's sequential pairwise scan over the
     connected-components matrix, build the full mergeability matrix once, take its
     transitive closure with log2(MAX_PLANES) boolean matmuls, and fold every merge
-    group onto its minimum-index representative with one masked moment combine."""
+    group onto its minimum-index representative with one masked moment combine.
+
+    Documented deviation: the merge test is symmetrized (dist_ij OR dist_ji) and
+    closed transitively over the STATIC pairwise matrix, so a chain A~B, B~C is
+    fused even when the reference's sequential accumulate-and-refit scan would
+    have re-fit merged(A,B) first and then rejected C.  In practice this only
+    differs for near-threshold curved surfaces; those are exactly the regions the
+    plane-vs-cylinder MSE choice routes to the cylinder model, and the engine's
+    plane-match gate (exact polygon IoU) re-separates any over-merged footprint
+    against the map on the next frame."""
     cell_maps = p_cellmask.reshape(MAX_PLANES, gh, gw)
     right = jnp.roll(cell_maps, -1, axis=2).at[:, :, -1].set(False)
     below = jnp.roll(cell_maps, -1, axis=1).at[:, -1, :].set(False)

@@ -87,7 +87,10 @@ def _use_pallas_default():
     # (utils.compile_cache.enable) so it is paid once per machine.
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    # pltpu primitives (roll, PrefetchScalarGridSpec, VMEM specs) only lower on
+    # TPU backends ("axon" is the tunneled TPU platform in this environment);
+    # everywhere else (cpu, gpu) the XLA formulation is the working path.
+    return jax.default_backend() in ("tpu", "axon")
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",

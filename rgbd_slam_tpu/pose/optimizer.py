@@ -86,8 +86,17 @@ def lm_solve(coeffs0, feats: MatchedFeatures, cam: CameraIntrinsics,
         delta = solve6_spd(a, -g)  # unrolled Cholesky: no LU loops on TPU
         return (best_c, best_cost, jtj, g, best_c + delta, damping), None
 
-    init = (coeffs0, jnp.asarray(jnp.inf, dt), jnp.eye(6, dtype=dt),
-            jnp.zeros(6, dt), coeffs0, jnp.asarray(damping0, dt))
+    # seed the carry with the evaluated start point so every scan iteration is a
+    # real trial step (without this, iteration 1 only establishes the baseline
+    # and the effective LM budget is iterations-1)
+    r0, jac0 = res_and_jac(coeffs0)
+    cost0 = jnp.sum(r0 * r0)
+    jtj0 = jac0.T @ jac0
+    g0 = jac0.T @ r0
+    d0 = jnp.asarray(damping0, dt)
+    a0 = jtj0 + d0 * jnp.diag(jnp.maximum(jnp.diagonal(jtj0), 1e-8)) \
+        + 1e-12 * jnp.eye(6, dtype=dt)
+    init = (coeffs0, cost0, jtj0, g0, coeffs0 + solve6_spd(a0, -g0), d0)
     # unroll=2: the LM chain sits on the frame's latency-critical path and the body
     # is tiny, so halving loop dispatches helps; full unroll explodes compile time
     (coeffs, cost, *_), _ = jax.lax.scan(step, init, None, length=iterations,
