@@ -82,21 +82,27 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     hpp_obs = jnp.einsum("lcri,lcrj->lcij", jp, jp)    # [L,C,6,6]
     bp_obs = jnp.einsum("lcri,lcr->lci", jp, r)        # [L,C,6]
 
-    # Hpp and bp: segment-sum over keyframe index
-    flat_kf = obs_kf.reshape(-1)
-    hpp = jax.ops.segment_sum(hpp_obs.reshape(-1, 6, 6), flat_kf, num_segments=k)
-    bp = jax.ops.segment_sum(bp_obs.reshape(-1, 6), flat_kf, num_segments=k)
+    # Keyframe assignment as a one-hot so every reduction below is a contraction
+    # (MXU matmuls) instead of a segment-sum scatter — TPUs tile matmuls onto the
+    # systolic array; scatters serialize.  Masked observations already have zeroed
+    # r/jp/jl blocks, so no extra masking of e is needed.
+    e = jax.nn.one_hot(obs_kf, k, dtype=dt)            # [L,C,K]
+    hpp = jnp.einsum("lck,lcij->kij", e, hpp_obs)
+    bp = jnp.einsum("lck,lci->ki", e, bp_obs)
 
-    # Schur correction: for each landmark, pairs of its observations couple their
-    # keyframes: S[k1,k2] -= w_c1 Hll^-1 w_c2^T
+    # Schur correction S[k1,k2] -= sum_l (e w Hll^-1)(e w)^T without materializing
+    # the [L,C,C,6,6] pair tensor: fold the keyframe one-hot into the observation
+    # blocks, then contract over (landmark, 3) as one [6K, L*3] x [L*3, 6K] matmul.
     y = jnp.einsum("lcij,ljk->lcik", w, hll_inv)        # [L,C,6,3]
-    corr = jnp.einsum("lcik,ldjk->lcdij", y, w)         # [L,C,C,6,6]
-    pair_k = (obs_kf[:, :, None] * k + obs_kf[:, None, :]).reshape(-1)
-    s_corr = jax.ops.segment_sum(corr.reshape(-1, 6, 6), pair_k,
-                                 num_segments=k * k)
-    bp_corr = jax.ops.segment_sum(
-        jnp.einsum("lcik,lk->lci", y, bl).reshape(-1, 6),
-        flat_kf, num_segments=k)
+    u = jnp.einsum("lck,lcia->lkia", e, y)              # [L,K,6,3]
+    v = jnp.einsum("lck,lcja->lkja", e, w)              # [L,K,6,3]
+    lloc = u.shape[0]
+    s_corr = jax.lax.dot_general(
+        u.reshape(lloc, k * 6, 3).transpose(1, 0, 2).reshape(k * 6, lloc * 3),
+        v.reshape(lloc, k * 6, 3).transpose(1, 0, 2).reshape(k * 6, lloc * 3),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=dt)                      # [6K, 6K]
+    bp_corr = jnp.einsum("lkia,la->ki", u, bl)          # [K, 6]
 
     if axis_name is not None:
         hpp = jax.lax.psum(hpp, axis_name)
@@ -106,8 +112,7 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
 
     big_hpp = jnp.zeros((k, 6, k, 6), dt)
     big_hpp = big_hpp.at[jnp.arange(k), :, jnp.arange(k), :].set(hpp)
-    s_mat = big_hpp.reshape(k * 6, k * 6) \
-        - s_corr.reshape(k, k, 6, 6).transpose(0, 2, 1, 3).reshape(k * 6, k * 6)
+    s_mat = big_hpp.reshape(k * 6, k * 6) - s_corr
     rhs = (bp - bp_corr).reshape(k * 6)
 
     # gauge fix: freeze keyframe 0 (replace its block rows/cols with identity)

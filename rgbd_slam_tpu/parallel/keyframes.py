@@ -9,12 +9,19 @@ by feature id across the window, and the window is refined with
 
 Host-side orchestration (ring buffers, id bookkeeping) with device solves — the same
 split the reference uses between its C++ containers and Eigen kernels.
+
+TPU-critical design point: the packed problem always has the STATIC shape
+``(max_keyframes, max_landmarks, max_obs_per_landmark)`` with validity masks, so one
+compiled solver serves every ``refine()`` call.  Variable shapes would recompile the
+XLA program on nearly every call (the dominant cost of a naive implementation —
+compile time is seconds, a solve is milliseconds).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,20 +29,40 @@ from ..config import CameraIntrinsics
 from ..geometry import se3
 from . import ba
 
+# batched pose-coefficient conversions: one device dispatch per refine instead of K
+_coeffs_to_poses = jax.jit(jax.vmap(se3.coefficients_to_pose))
+_poses_to_coeffs = jax.jit(jax.vmap(se3.pose_to_coefficients))
+_pose_to_coeffs1 = jax.jit(se3.pose_to_coefficients)
+
 
 @dataclass
 class KeyframeWindow:
-    """Sliding window of keyframes with per-feature-id observations."""
+    """Sliding window of keyframes with per-feature-id observations.
+
+    ``max_obs_per_landmark`` defaults to ``max_keyframes``: each keyframe
+    contributes at most one observation of a landmark, so with C = K the
+    per-landmark cap can never drop an observation inside the window (the
+    "no silent caps" rule — any residual truncation is counted in
+    ``dropped_landmarks`` / ``dropped_obs``)."""
 
     max_keyframes: int = 8
     max_landmarks: int = 512
-    max_obs_per_landmark: int = 8
+    max_obs_per_landmark: int = 0   # 0 -> max_keyframes
 
     poses: list = field(default_factory=list)        # [K] 6-coeff np arrays
     timestamps: list = field(default_factory=list)
     frame_ids: list = field(default_factory=list)    # [K] source frame index
     obs: dict = field(default_factory=dict)          # fid -> list[(kf_idx, uv)]
     landmark_pos: dict = field(default_factory=dict) # fid -> last map position
+    landmark_slot: dict = field(default_factory=dict)# fid -> map slot at last sight
+    dropped_landmarks: int = 0   # cumulative landmarks truncated by max_landmarks
+    dropped_obs: int = 0         # cumulative observations truncated by C cap
+
+    def __post_init__(self):
+        if self.max_obs_per_landmark <= 0:
+            self.max_obs_per_landmark = self.max_keyframes
+        self._solver = None
+        self._sharded_solver = None
 
     def add_keyframe(self, quat, position, output, point_positions, timestamp=0.0,
                      frame_id=None):
@@ -43,9 +70,14 @@ class KeyframeWindow:
 
         point_positions: the map's current world positions aligned with the output's
         per-slot record (state.points.pos)."""
+        # slide BEFORE inserting: otherwise a landmark observed in every live
+        # keyframe hits the C cap with the NEW observation while the oldest one is
+        # about to be evicted anyway (silent-cap bug caught by the drop counters)
+        if len(self.poses) + 1 > self.max_keyframes:
+            self._drop_oldest()
         kf_idx = len(self.poses)
-        self.poses.append(np.asarray(
-            se3.pose_to_coefficients(jnp.asarray(quat), jnp.asarray(position))))
+        self.poses.append(np.asarray(_pose_to_coeffs1(
+            jnp.asarray(quat, jnp.float32), jnp.asarray(position, jnp.float32))))
         self.timestamps.append(float(timestamp))
         self.frame_ids.append(kf_idx if frame_id is None else int(frame_id))
 
@@ -58,11 +90,10 @@ class KeyframeWindow:
             entry = self.obs.setdefault(fid, [])
             if len(entry) < self.max_obs_per_landmark:
                 entry.append((kf_idx, uvs[i].copy()))
+            else:
+                self.dropped_obs += 1
             self.landmark_pos[fid] = pos[i].copy()
-
-        # slide the window: drop the oldest keyframe beyond capacity
-        if len(self.poses) > self.max_keyframes:
-            self._drop_oldest()
+            self.landmark_slot[fid] = int(i)
 
     def _drop_oldest(self):
         self.poses.pop(0)
@@ -82,66 +113,100 @@ class KeyframeWindow:
     def build_problem(self):
         """Pack the window into the BA layout: landmarks observed in >= 2 keyframes.
 
-        Returns (poses [K, 6], landmarks [L, 3], obs_kf [L, C], obs_uv [L, C, 2],
-        obs_mask [L, C], fids [L]) as jnp arrays, or None if under-constrained."""
+        Always returns STATIC shapes (K = max_keyframes, L = max_landmarks,
+        C = max_obs_per_landmark) so the compiled solver is reused:
+        (poses [K, 6], landmarks [L, 3], obs_kf [L, C], obs_uv [L, C, 2],
+        obs_mask [L, C], fids [L] int64, slots [L] int32, lm_valid [L]),
+        or None if under-constrained."""
         if self.n_keyframes < 2:
             return None
         usable = [(fid, e) for fid, e in self.obs.items() if len(e) >= 2]
         if len(usable) < 8:
             return None
-        usable = usable[: self.max_landmarks]
-        l = len(usable)
+        if len(usable) > self.max_landmarks:
+            # keep the best-constrained landmarks (most observations) rather than
+            # dict insertion order, and account for the truncation
+            usable.sort(key=lambda t: len(t[1]), reverse=True)
+            self.dropped_landmarks += len(usable) - self.max_landmarks
+            usable = usable[: self.max_landmarks]
+        k = self.max_keyframes
+        l = self.max_landmarks
         c = self.max_obs_per_landmark
         obs_kf = np.zeros((l, c), np.int32)
         obs_uv = np.zeros((l, c, 2), np.float32)
         obs_mask = np.zeros((l, c), bool)
         landmarks = np.zeros((l, 3), np.float32)
-        fids = np.zeros((l,), np.int64)
+        fids = np.full((l,), -1, np.int64)
+        slots = np.zeros((l,), np.int32)
+        lm_valid = np.zeros((l,), bool)
         for i, (fid, entries) in enumerate(usable):
             fids[i] = fid
+            slots[i] = self.landmark_slot.get(fid, 0)
+            lm_valid[i] = True
             landmarks[i] = self.landmark_pos[fid]
-            for j, (k, uv) in enumerate(entries[:c]):
-                obs_kf[i, j] = k
+            for j, (kf, uv) in enumerate(entries[:c]):
+                obs_kf[i, j] = kf
                 obs_uv[i, j] = uv
                 obs_mask[i, j] = True
-        return (jnp.asarray(np.stack(self.poses).astype(np.float32)),
-                jnp.asarray(landmarks), jnp.asarray(obs_kf),
-                jnp.asarray(obs_uv), jnp.asarray(obs_mask), fids)
+        poses = np.zeros((k, 6), np.float32)
+        poses[: self.n_keyframes] = np.stack(self.poses).astype(np.float32)
+        return (jnp.asarray(poses), jnp.asarray(landmarks), jnp.asarray(obs_kf),
+                jnp.asarray(obs_uv), jnp.asarray(obs_mask), fids, slots, lm_valid)
+
+    def _get_solver(self, cam: CameraIntrinsics, iterations: int, mesh):
+        """One compiled solver per window (static problem shape => zero recompiles
+        across refine() calls)."""
+        if mesh is not None:
+            if self._sharded_solver is None:
+                self._sharded_solver = ba.make_sharded_ba(
+                    mesh, cam, n_keyframes=self.max_keyframes,
+                    iterations=iterations)
+            return self._sharded_solver
+        if self._solver is None:
+
+            @jax.jit
+            def solve(poses, landmarks, obs_kf, obs_uv, obs_mask):
+                return ba.ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask,
+                                   cam, iterations=iterations)
+
+            self._solver = solve
+        return self._solver
 
     def refine(self, cam: CameraIntrinsics, iterations: int = 8, mesh=None):
-        """Run windowed BA; returns (refined poses [(quat, position)], refined
-        landmark dict fid->pos, costs) or None when under-constrained."""
+        """Run windowed BA.
+
+        Returns ``(refined, device_lm, costs)`` where ``refined`` is a list of
+        (quat, position) host arrays for the n_keyframes live keyframes,
+        ``device_lm = (fids [L], slots [L], new_lm [L,3] device, lm_valid [L])``
+        stays on device for the map scatter-back, and ``costs`` is the per-iteration
+        masked cost — or None when under-constrained."""
         problem = self.build_problem()
         if problem is None:
             return None
-        poses, landmarks, obs_kf, obs_uv, obs_mask, fids = problem
-        if mesh is not None:
-            fn = ba.make_sharded_ba(mesh, cam, n_keyframes=poses.shape[0],
-                                    iterations=iterations)
-            new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv,
-                                          obs_mask)
-        else:
-            new_poses, new_lm, costs = ba.ba_solve(
-                poses, landmarks, obs_kf, obs_uv, obs_mask, cam,
-                iterations=iterations)
+        poses, landmarks, obs_kf, obs_uv, obs_mask, fids, slots, lm_valid = problem
+        fn = self._get_solver(cam, iterations, mesh)
+        new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv, obs_mask)
 
-        refined = []
-        for i in range(new_poses.shape[0]):
-            quat, pos = se3.coefficients_to_pose(new_poses[i])
-            refined.append((np.asarray(quat), np.asarray(pos)))
-        lm_out = {int(fids[i]): np.asarray(new_lm[i])
-                  for i in range(new_lm.shape[0])}
-        return refined, lm_out, np.asarray(costs)
+        quats, positions = _coeffs_to_poses(new_poses)
+        quats, positions = np.asarray(quats), np.asarray(positions)
+        refined = [(quats[i], positions[i]) for i in range(self.n_keyframes)]
+        device_lm = (fids, jnp.asarray(slots), new_lm, jnp.asarray(lm_valid))
+        return refined, device_lm, np.asarray(costs)
 
-    def apply_refinement(self, refined, lm_out):
-        """Write refined poses/landmarks back into the window so the next refine
-        starts from the improved estimate (the live-pipeline feedback path the
-        reference leaves as an empty TODO, local_map.hpp:263-266)."""
-        new_poses = []
-        for quat, pos in refined:
-            new_poses.append(np.asarray(se3.pose_to_coefficients(
-                jnp.asarray(quat, jnp.float32), jnp.asarray(pos, jnp.float32))))
-        self.poses = new_poses
-        for fid, pos in lm_out.items():
-            if fid in self.landmark_pos:
-                self.landmark_pos[fid] = np.asarray(pos)
+    def apply_refinement(self, refined, device_lm=None):
+        """Write refined poses back into the window so the next refine starts from
+        the improved estimate (the live-pipeline feedback path the reference leaves
+        as an empty TODO, local_map.hpp:263-266).  Landmark positions refresh
+        themselves on the next add_keyframe from the (scattered-back) live map, so
+        only landmarks that already left the map need the device_lm update here."""
+        quats = jnp.asarray(np.stack([q for q, _ in refined]), jnp.float32)
+        positions = jnp.asarray(np.stack([p for _, p in refined]), jnp.float32)
+        coeffs = np.asarray(_poses_to_coeffs(quats, positions))
+        self.poses = [coeffs[i] for i in range(len(refined))]
+        if device_lm is not None:
+            fids, _slots, new_lm, lm_valid = device_lm
+            lm_host = np.asarray(new_lm)
+            valid_host = np.asarray(lm_valid)
+            for i in range(len(fids)):
+                if valid_host[i] and int(fids[i]) in self.landmark_pos:
+                    self.landmark_pos[int(fids[i])] = lm_host[i]
