@@ -110,6 +110,11 @@ def main():
         plane_world=jnp.zeros((cfg.mapping.max_planes, 4), jnp.float32),
         plane_world_std=jnp.ones((cfg.mapping.max_planes, 4), jnp.float32),
         plane_mask=jnp.zeros((cfg.mapping.max_planes,), bool),
+        line_obs_p0=jnp.zeros((cfg.mapping.max_lines, 2), jnp.float32),
+        line_obs_p1=jnp.zeros((cfg.mapping.max_lines, 2), jnp.float32),
+        line_world=jnp.zeros((cfg.mapping.max_lines, 6), jnp.float32),
+        line_world_std=jnp.ones((cfg.mapping.max_lines, 6), jnp.float32),
+        line_mask=jnp.zeros((cfg.mapping.max_lines,), bool),
     )
     q0 = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
     t0v = jnp.zeros(3, jnp.float32)

@@ -11,10 +11,12 @@ import os as _os
 import jax as _jax
 
 # Persistent compilation cache: Mosaic/XLA lowering of the larger kernels takes
-# minutes on a cold process; the cache amortizes it across runs.
+# minutes on a cold process; the cache amortizes it across runs.  v2: the
+# original directory accumulated a corrupt entry (concurrent writers) whose
+# deserialization SEGFAULTS, so the namespace is versioned to abandon it.
 _cache_dir = _os.environ.get("RGBD_SLAM_JAX_CACHE",
                              _os.path.join(_os.path.dirname(__file__), "..",
-                                           ".jax_cache"))
+                                           ".jax_cache", "v2"))
 try:
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -54,6 +54,9 @@ class RansacConfig:
     max_retroprojection_error_point_px: float = 3.0
     max_retroprojection_error_plane_mm: float = 50.0
     max_retroprojection_error_plane_normal: float = 0.2
+    # lines in pose optimization are NEW vs the reference (its line path is
+    # compiled out, rgbd_slam.cpp:304-313); px gate follows the point convention
+    max_retroprojection_error_line_px: float = 3.0
     min_inlier_proportion_early_stop: float = 0.80
     probability_of_success: float = 0.8
     inlier_proportion: float = 0.65
@@ -133,6 +136,10 @@ class MatchingConfig:
     max_plane_match_distance_mm: float = 100.0
     match_search_radius_px: float = 30.0
     max_match_distance: float = 0.7  # Lowe ratio for descriptor matching
+    # line matching gates (new surface; angle follows the plane-angle convention,
+    # perpendicular distance the point search radius)
+    max_line_match_angle_d: float = 10.0
+    max_line_match_distance_px: float = 20.0
 
 
 @dataclass(frozen=True)
@@ -152,6 +159,7 @@ class MappingConfig:
     max_points_3d: int = 512
     max_points_2d: int = 256
     max_planes: int = 32
+    max_lines: int = 16
     # LK-tracked subset cap: optical flow cost is linear in tracked points; the
     # reference caps detections at 100/frame and tracks visible map points
     max_tracked_points: int = 128
@@ -167,6 +175,10 @@ class EngineConfig:
     pose_covariance_mc_iterations: int = 100  # pose_optimization.cpp:361-437
     lm_iterations: int = 10           # fixed-iteration batched LM (replaces Eigen LM;
                                       # deferred accept/reject, one linearize/iter)
+    refit_lm_iterations: int = 6      # final LM refit on the best inlier set: starts
+                                      # from an already-optimized hypothesis, so it
+                                      # needs fewer iterations than the subset solves
+                                      # (it is the frame's longest sequential chain)
     mc_lm_iterations: int = 5         # LM iterations per MC covariance sample (the
                                       # perturbed solves start at the optimum)
     ransac_hypothesis_batch: int = 32 # batched hypotheses replace the tbb loop

@@ -44,6 +44,7 @@ class SlamState(NamedTuple):
     points: maps.PointMap
     points2d: maps.Point2DMap
     planes: maps.PlaneMap
+    lines: maps.LineMap
     prev_pyramid: tuple            # previous frame's LK pyramid (levels+1 arrays)
     tracked_uv: jnp.ndarray        # [T, 2] screen pos of tracked map points
     tracked_ok: jnp.ndarray        # [T]
@@ -67,6 +68,8 @@ class StepOutput(NamedTuple):
     n_planes_alive: jnp.ndarray
     n_detected: jnp.ndarray
     n_lines: jnp.ndarray
+    n_line_matches: jnp.ndarray    # map lines matched+inlier this frame
+    n_lines_alive: jnp.ndarray     # live line-map features
     n_cylinders: jnp.ndarray       # detected cylinder sub-segments this frame
     cylinder_cells: jnp.ndarray    # [C] union of cylinder inlier cell masks
     # per-slot observation record for the keyframe/BA backend
@@ -87,6 +90,7 @@ def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
         points=maps.empty_point_map(m3),
         points2d=maps.empty_point2d_map(cfg.mapping.max_points_2d),
         planes=maps.empty_plane_map(cfg.mapping.max_planes),
+        lines=maps.empty_line_map(cfg.mapping.max_lines),
         prev_pyramid=tuple(image.build_pyramid(
             jnp.zeros((cam.height, cam.width), dt),
             cfg.detection.optical_flow_pyramid_depth)),
@@ -99,6 +103,20 @@ def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
         next_id=jnp.asarray(1, jnp.int32),
         key=jax.random.PRNGKey(seed),
     )
+
+
+def _compact_mask(mask, cap: int):
+    """Gather indices of the masked rows into a fixed-capacity block
+    (idx [cap] int32, keep [cap] bool).  Lets rare per-slot work (depth-less
+    fusions, 2D updates) run at a small static size instead of map capacity —
+    the capacity-wide 6x6 covariance math otherwise costs ~0.4 ms/frame."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (rank < cap), rank, cap)
+    idx = jnp.zeros((cap,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    keep = jnp.arange(cap) < jnp.minimum(jnp.sum(mask.astype(jnp.int32)), cap)
+    return idx, keep
 
 
 def _sample_depth(depth, uv):
@@ -131,8 +149,10 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
     # polygon overlap gate (map_primitive.cpp:91-161): the reference ranks
     # hessian-gated candidates by the EXACT polygon intersection area and gates
     # on interArea / detectedArea >= minimumPlaneOverlapToConsiderMatch.
-    # The Green's-theorem intersection (utils/polygon.py) is O(V^2) fully
-    # parallel, so the exact area is computed for EVERY map x detection pair.
+    # The Green's-theorem intersection (utils/polygon.py) is O(V^2); computing it
+    # for every map x detection pair costs ~0.3 ms/frame at capacity [32 x 16].
+    # The reference only intersects hessian-gated candidates (a handful per
+    # frame), so compact the gate-passing pairs to PAIR_CAP and intersect those.
     r = c2w[:3, :3]
     t = c2w[:3, 3]
     det_center_w = det.basis_center @ r.T + t
@@ -143,19 +163,30 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
     nd = det.params.shape[0]
     det_area = jax.vmap(poly.polygon_area)(det.poly_verts, det.poly_count)
 
-    # all detected polygons' vertices in every map plane's basis: [mp, nd, V, 2]
-    verts3 = (det_center_w[:, None, :]
-              + det.poly_verts[..., 0:1] * det_u_w[:, None, :]
-              + det.poly_verts[..., 1:2] * det_v_w[:, None, :])       # [nd, V, 3]
-    rel = verts3[None] - plane_map.basis_center[:, None, None, :]
-    verts2 = jnp.stack([
-        jnp.sum(rel * plane_map.basis_u[:, None, None, :], axis=-1),
-        jnp.sum(rel * plane_map.basis_v[:, None, None, :], axis=-1)], axis=-1)
+    # compact candidate pairs: highest-alignment gate-passers first (cap overflow
+    # drops the least-aligned candidates; with scenes of <= a dozen planes the cap
+    # is never reached)
+    pair_cap = min(32, mp * nd)
+    pri = jnp.where(gate.reshape(-1), cosang.reshape(-1), -jnp.inf)
+    _, pair_idx = jax.lax.top_k(pri, pair_cap)
+    pm_i = pair_idx // nd                                 # [P] map slot
+    pd_i = pair_idx % nd                                  # [P] detection slot
+    pair_ok = gate.reshape(-1)[pair_idx]
 
-    inter = jax.vmap(  # over map planes
-        jax.vmap(poly.convex_intersection_area, in_axes=(None, None, 0, 0)),
-        in_axes=(0, 0, 0, None))(
-        plane_map.poly_verts, plane_map.poly_count, verts2, det.poly_count)
+    # gathered detected polygons' vertices in the paired map plane's basis
+    verts3 = (det_center_w[pd_i][:, None, :]
+              + det.poly_verts[pd_i][..., 0:1] * det_u_w[pd_i][:, None, :]
+              + det.poly_verts[pd_i][..., 1:2] * det_v_w[pd_i][:, None, :])
+    rel = verts3 - plane_map.basis_center[pm_i][:, None, :]
+    verts2 = jnp.stack([
+        jnp.sum(rel * plane_map.basis_u[pm_i][:, None, :], axis=-1),
+        jnp.sum(rel * plane_map.basis_v[pm_i][:, None, :], axis=-1)], axis=-1)
+
+    inter_pairs = jax.vmap(poly.convex_intersection_area)(
+        plane_map.poly_verts[pm_i], plane_map.poly_count[pm_i],
+        verts2, det.poly_count[pd_i])
+    inter = jnp.zeros((mp, nd), inter_pairs.dtype).at[pm_i, pd_i].set(
+        jnp.where(pair_ok, inter_pairs, 0.0), mode="drop")
     ratio = inter / jnp.maximum(det_area[None, :], 1e-9)
     ok_pair = gate & (ratio >= cfg.matching.min_plane_overlap_for_match)
     pair_score = jnp.where(ok_pair, inter, -1.0)
@@ -171,6 +202,58 @@ def _match_planes(plane_map: maps.PlaneMap, det: primitives.DetectedPlanes,
         jnp.arange(nd))
     ok = ok & (winner[best] == jnp.arange(mp))
     return jnp.where(ok, best, -1).astype(jnp.int32), det_world
+
+
+# ---------------------------------------------------------------------------
+# line matching (NEW surface: the reference has no line map, SURVEY.md §2.3;
+# gates follow its plane-matching pattern one dimension down)
+# ---------------------------------------------------------------------------
+
+def _match_lines(line_map: maps.LineMap, det, w2c, cam, cfg: SlamConfig):
+    """Match map lines to detected 2D segments at the predicted pose.
+
+    Gates: 2D direction agreement, detection-midpoint perpendicular distance to
+    the projected map line, and positive extent overlap along it.  Best candidate
+    by perpendicular distance; each detection matches at most one map line.
+    Returns (match_idx [Ml] into detections or -1, proj_l0, proj_l1)."""
+    import math
+
+    ml = line_map.fid.shape[0]
+    nd = det.p0.shape[0]
+    s0, ok0 = pinhole.world_to_screen(line_map.endpoints[:, :3], w2c, cam)
+    s1, ok1 = pinhole.world_to_screen(line_map.endpoints[:, 3:], w2c, cam)
+    l0, l1 = s0[:, :2], s1[:, :2]
+    seg = l1 - l0
+    seg_len = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-9))
+    dir_m = seg / seg_len[:, None]
+    norm_m = jnp.stack([-dir_m[:, 1], dir_m[:, 0]], axis=-1)
+
+    cosang = jnp.abs(jnp.einsum("mi,di->md", dir_m, det.direction))
+    mid = 0.5 * (det.p0 + det.p1)
+    rel = mid[None, :, :] - l0[:, None, :]
+    perp = jnp.abs(jnp.sum(rel * norm_m[:, None, :], axis=-1))
+    t0 = jnp.sum((det.p0[None] - l0[:, None]) * dir_m[:, None], axis=-1)
+    t1 = jnp.sum((det.p1[None] - l0[:, None]) * dir_m[:, None], axis=-1)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    overlap = jnp.minimum(hi, seg_len[:, None]) - jnp.maximum(lo, 0.0)
+
+    gate = ((cosang > math.cos(math.radians(cfg.matching.max_line_match_angle_d)))
+            & (perp < cfg.matching.max_line_match_distance_px)
+            & (overlap > 0.0)
+            & (ok0 & ok1)[:, None]
+            & maps.alive(line_map)[:, None] & det.valid[None, :])
+    score = jnp.where(gate, -perp, -jnp.inf)
+    best = jnp.argmax(score, axis=1)
+    best_ok = jnp.take_along_axis(gate, best[:, None], axis=1)[:, 0]
+    best_perp = -jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+    # one detection -> one map line: ties go to the smaller perpendicular error
+    rank = jnp.where(best_ok, -best_perp, -jnp.inf)
+    winner = jax.vmap(
+        lambda di: jnp.argmax(jnp.where(best == di, rank, -jnp.inf)))(
+        jnp.arange(nd))
+    ok = best_ok & (winner[best] == jnp.arange(ml))
+    return jnp.where(ok, best, -1).astype(jnp.int32), l0, l1
 
 
 # ---------------------------------------------------------------------------
@@ -335,16 +418,31 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     q_obs_depth_ok = pinhole.is_depth_valid(
         q_obs_z, cfg.engine.min_depth_mm, cfg.engine.max_depth_mm)
 
-    # lines: detection-only, matching the reference where USE_LINE_DETECTION is
-    # a build toggle and lines never reach pose optimization
-    # (rgbd_slam.cpp:304-313, SURVEY.md §2.3)
+    # lines: detection + matching + pose participation (north-star config 2 —
+    # goes BEYOND the reference, whose line path is compiled out and never
+    # reaches pose optimization, rgbd_slam.cpp:304-313 / SURVEY.md §2.3)
+    ml_cap = cfg.mapping.max_lines
     if with_lines:
-        from .features.lines import detect_lines
+        from .features.lines import MAX_LINES as DET_LINES_CAP, detect_lines
 
         det_lines = detect_lines(gray)
         n_lines = jnp.sum(det_lines.valid)
+        # endpoint depths, inset a few px toward the midpoint to dodge the depth
+        # discontinuity that usually coincides with an intensity edge
+        inset0 = det_lines.p0 + 3.0 * det_lines.direction
+        inset1 = det_lines.p1 - 3.0 * det_lines.direction
+        lz0 = _sample_depth(depth, inset0)
+        lz1 = _sample_depth(depth, inset1)
+        l_depth_ok = (pinhole.is_depth_valid(lz0, cfg.engine.min_depth_mm,
+                                             cfg.engine.max_depth_mm)
+                      & pinhole.is_depth_valid(lz1, cfg.engine.min_depth_mm,
+                                               cfg.engine.max_depth_mm))
+        l_match_idx, _, _ = _match_lines(state.lines, det_lines, w2c, cam, cfg)
     else:
+        det_lines = None
         n_lines = jnp.asarray(0, jnp.int32)
+        l_match_idx = jnp.full((ml_cap,), -1, jnp.int32)
+    l_matched = l_match_idx >= 0
 
     # planes + cylinders (cylinders are detection products like the reference —
     # there is no cylinder feature map in src/map_management; they surface in
@@ -370,6 +468,15 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     safe_k = jnp.clip(k_match_idx, 0, MAX_PLANES - 1)
     plane_cam_obs = det_planes.params[safe_k] if with_planes \
         else jnp.zeros((mp, 4), dt)
+    if with_lines:
+        safe_l = jnp.clip(l_match_idx, 0, DET_LINES_CAP - 1)
+        line_obs_p0 = det_lines.p0[safe_l]
+        line_obs_p1 = det_lines.p1[safe_l]
+    else:
+        line_obs_p0 = jnp.zeros((ml_cap, 2), dt)
+        line_obs_p1 = jnp.zeros((ml_cap, 2), dt)
+    line_std6 = jnp.sqrt(jnp.abs(jnp.diagonal(
+        state.lines.cov, axis1=-2, axis2=-1))).reshape(ml_cap, 6)
     feats = MatchedFeatures(
         point_obs_uv=p_obs_uv,
         point_world=pts.pos,
@@ -384,6 +491,11 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         plane_world_std=jnp.sqrt(jnp.abs(jnp.diagonal(state.planes.cov,
                                                       axis1=-2, axis2=-1))),
         plane_mask=k_matched & maps.alive(state.planes),
+        line_obs_p0=line_obs_p0,
+        line_obs_p1=line_obs_p1,
+        line_world=state.lines.endpoints,
+        line_world_std=line_std6,
+        line_mask=l_matched & maps.alive(state.lines),
     )
     opt = compute_optimized_pose(k_opt, pred_quat, pred_pos, feats, cam,
                                  ransac_cfg=cfg.ransac, engine_cfg=cfg.engine)
@@ -404,6 +516,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     p_final = jnp.where(success, p_matched & opt.point_inliers, p_matched & False)
     q_final = jnp.where(success, q_matched & opt.point2d_inliers, q_matched & False)
     k_final = jnp.where(success, k_matched & opt.plane_inliers, k_matched & False)
+    l_final = jnp.where(success, l_matched & opt.line_inliers, l_matched & False)
 
     # 3D point Kalman updates (map_point.cpp:188-240): depth-valid observations
     # fuse the world point; depth-less matches build a REAL inverse-depth
@@ -411,45 +524,74 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     # initial angular/rho covariance) and fuse its cartesian projection with
     # the J Sigma J^T covariance — the reference's update_with_match else-branch
     # (map_point.cpp:218-240)
-    obs_screen = jnp.stack([p_obs_uv[:, 0], p_obs_uv[:, 1], p_obs_z], axis=-1)
-    obs_world_d = pinhole.screen_to_world(obs_screen, new_c2w, cam)
-    obs_cov_d = cov_mod.screen_point_to_world_covariance(
+    # matched points per frame are bounded by tracked (128) + detections (100),
+    # so the whole observation-covariance + KF chain runs on a compacted
+    # 256-slot block instead of the full M3 map capacity
+    midx, mkeep = _compact_mask(p_final & pts_alive, 256)
+    uv_c = p_obs_uv[midx]
+    obs_screen = jnp.stack([uv_c[:, 0], uv_c[:, 1], p_obs_z[midx]], axis=-1)
+    obs_world = pinhole.screen_to_world(obs_screen, new_c2w, cam)
+    obs_cov = cov_mod.screen_point_to_world_covariance(
         obs_screen, new_c2w, cam, pose_cov3)
-    obs_id_state = idp.from_screen_observation(
-        p_obs_uv, new_c2w, cam,
+    # depth-less matches are rarer still (LK survivors usually carry depth): the
+    # inverse-depth observation math runs on a nested 64-slot block (overflow
+    # beyond the cap falls back to the depth observation)
+    depthless = mkeep & ~p_obs_depth_ok[midx]
+    didx, dkeep = _compact_mask(depthless, 64)
+    id_state_c = idp.from_screen_observation(
+        uv_c[didx], new_c2w, cam,
         baseline_rho=det_cfg.inverse_depth_baseline / 2.0)
-    obs_id_cov = idt.initial_covariance(
-        jnp.broadcast_to(pose_cov3, (m3, 3, 3)), det_cfg)
-    obs_world = jnp.where(p_obs_depth_ok[:, None], obs_world_d,
-                          idp.to_world(obs_id_state))
-    obs_cov = jnp.where(p_obs_depth_ok[:, None, None], obs_cov_d,
-                        idt.cartesian_covariance(obs_id_state, obs_id_cov))
+    id_cov_c = idt.initial_covariance(
+        jnp.broadcast_to(pose_cov3, (64, 3, 3)), det_cfg)
+    obs_world = obs_world.at[didx].set(
+        jnp.where(dkeep[:, None], idp.to_world(id_state_c), obs_world[didx]),
+        mode="drop")
+    obs_cov = obs_cov.at[didx].set(
+        jnp.where(dkeep[:, None, None],
+                  idt.cartesian_covariance(id_state_c, id_cov_c),
+                  obs_cov[didx]),
+        mode="drop")
     upd_pos, upd_cov, _, moving = kalman.track_points(
-        pts.pos, pts.cov, obs_world, obs_cov)
-    do_upd = (p_final & pts_alive)[:, None]
+        pts.pos[midx], pts.cov[midx], obs_world, obs_cov)
+    match_c = p_match_idx[midx]
+    desc_upd = mkeep & ~of_ok[midx] & (match_c >= 0)
+    desc_c = det_desc[jnp.clip(match_c, 0, det_desc.shape[0] - 1)]
     new_points = pts._replace(
-        pos=jnp.where(do_upd, upd_pos, pts.pos),
-        cov=jnp.where(do_upd[..., None], upd_cov, pts.cov),
-        desc=jnp.where(do_upd & ~of_ok[:, None] & (p_match_idx >= 0)[:, None],
-                       det_desc[jnp.clip(p_match_idx, 0, det_desc.shape[0] - 1)],
-                       pts.desc),
-        is_moving=jnp.where(do_upd[:, 0], moving, pts.is_moving),
+        pos=pts.pos.at[midx].set(
+            jnp.where(mkeep[:, None], upd_pos, pts.pos[midx]), mode="drop"),
+        cov=pts.cov.at[midx].set(
+            jnp.where(mkeep[:, None, None], upd_cov, pts.cov[midx]),
+            mode="drop"),
+        desc=pts.desc.at[midx].set(
+            jnp.where(desc_upd[:, None], desc_c, pts.desc[midx]), mode="drop"),
+        is_moving=pts.is_moving.at[midx].set(
+            jnp.where(mkeep, moving, pts.is_moving[midx]), mode="drop"),
     )
 
-    # 2D point fusion (map_point2d.cpp:243-260)
+    # 2D point fusion (map_point2d.cpp:243-260) — matched 2D points per frame are
+    # bounded by detections (usually ~10), so fuse on a compacted 64-slot block
+    # instead of both fusion branches at full [M2, 6, 6] capacity
     q_obs_screen = jnp.stack([q_obs_uv[:, 0], q_obs_uv[:, 1], q_obs_z], axis=-1)
+    qidx, qkeep = _compact_mask(q_final & p2_alive, 64)
     st3, cov3_, _ = idt.fuse_screen_observation_3d(
-        p2.state, p2.cov, q_obs_screen, new_c2w, pose_cov3, cam)
+        p2.state[qidx], p2.cov[qidx], q_obs_screen[qidx], new_c2w, pose_cov3,
+        cam)
     st2, cov2_, _ = idt.fuse_screen_observation_2d(
-        p2.state, p2.cov, q_obs_uv, new_c2w, pose_cov3, cam, det_cfg)
-    fused_state = jnp.where(q_obs_depth_ok[:, None], st3, st2)
-    fused_cov = jnp.where(q_obs_depth_ok[:, None, None], cov3_, cov2_)
-    do_q = (q_final & p2_alive)[:, None]
+        p2.state[qidx], p2.cov[qidx], q_obs_uv[qidx], new_c2w, pose_cov3, cam,
+        det_cfg)
+    okd = q_obs_depth_ok[qidx]
+    fused_state = jnp.where(okd[:, None], st3, st2)
+    fused_cov = jnp.where(okd[:, None, None], cov3_, cov2_)
+    desc_c = det_desc[jnp.clip(q_match_idx[qidx], 0, det_desc.shape[0] - 1)]
     new_points2d = p2._replace(
-        state=jnp.where(do_q, fused_state, p2.state),
-        cov=jnp.where(do_q[..., None], fused_cov, p2.cov),
-        desc=jnp.where(do_q, det_desc[jnp.clip(q_match_idx, 0, det_desc.shape[0] - 1)],
-                       p2.desc),
+        state=p2.state.at[qidx].set(
+            jnp.where(qkeep[:, None], fused_state, p2.state[qidx]),
+            mode="drop"),
+        cov=p2.cov.at[qidx].set(
+            jnp.where(qkeep[:, None, None], fused_cov, p2.cov[qidx]),
+            mode="drop"),
+        desc=p2.desc.at[qidx].set(
+            jnp.where(qkeep[:, None], desc_c, p2.desc[qidx]), mode="drop"),
     )
 
     # plane updates: world-frame 4x4 KF + polygon merge (map_primitive.cpp:204-251,
@@ -531,8 +673,12 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     lin_score = idt.linearity_score(new_points2d.state, new_points2d.cov,
                                     jnp.broadcast_to(new_c2w, (m2, 4, 4)))
     upgrade = maps.alive(new_points2d) & (lin_score < 0.1) & q_final
-    up_world = idp.to_world(new_points2d.state)
-    up_cov = idt.cartesian_covariance(new_points2d.state, new_points2d.cov)
+    # upgrades are rare (bounded by this frame's 2D matches): compute the world
+    # projection + covariance on a compacted 32-slot block
+    uidx, ukeep = _compact_mask(upgrade, 32)
+    up_state_c = new_points2d.state[uidx]
+    up_world = idp.to_world(up_state_c)
+    up_cov = idt.cartesian_covariance(up_state_c, new_points2d.cov[uidx])
 
     # --- insertion of new features ----------------------------------------
     # when tracking is fine: unmatched detections go to the staged maps; when lost,
@@ -556,9 +702,9 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
 
     cand_pos = jnp.concatenate([new_world, up_world], axis=0)
     cand_cov = jnp.concatenate([new_world_cov, up_cov], axis=0)
-    cand_desc = jnp.concatenate([det_desc, new_points2d.desc], axis=0)
-    cand_want = jnp.concatenate([want3, upgrade], axis=0)
-    cand_local = jnp.concatenate([jnp.zeros_like(want3), upgrade], axis=0)
+    cand_desc = jnp.concatenate([det_desc, new_points2d.desc[uidx]], axis=0)
+    cand_want = jnp.concatenate([want3, ukeep], axis=0)
+    cand_local = jnp.concatenate([jnp.zeros_like(want3), ukeep], axis=0)
     slots3 = maps.allocate_slots(free3, cand_want)
     ok3 = slots3 >= 0
     tgt3 = jnp.where(ok3, slots3, m3)
@@ -577,7 +723,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     next_id = state.next_id + jnp.sum(ok3.astype(jnp.int32))
 
     # upgraded 2D points leave the 2D map (only those that got a 3D slot)
-    upgraded_ok = upgrade & ok3[det_xy.shape[0]:]
+    upgraded_ok = jnp.zeros((m2,), bool).at[uidx].set(
+        ok3[det_xy.shape[0]:] & ukeep, mode="drop")
     new_points2d = maps.remove_features(new_points2d, ~upgraded_ok)
 
     # new 2D points from depth-less detections (map_point2d staged ctor)
@@ -639,6 +786,81 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         )
         next_id = next_id + jnp.sum(okk.astype(jnp.int32))
 
+    # --- line map update (NEW surface; per-endpoint 3x3 KF like map points) ----
+    if with_lines:
+        li = state.lines
+        # observed 3D endpoints at the optimized pose (inset screen points paired
+        # with their sampled depths)
+        det_e_scr0 = jnp.stack([inset0[:, 0], inset0[:, 1], lz0], axis=-1)
+        det_e_scr1 = jnp.stack([inset1[:, 0], inset1[:, 1], lz1], axis=-1)
+        det_e0_w = pinhole.screen_to_world(det_e_scr0, new_c2w, cam)
+        det_e1_w = pinhole.screen_to_world(det_e_scr1, new_c2w, cam)
+        det_e0_cov = cov_mod.screen_point_to_world_covariance(
+            det_e_scr0, new_c2w, cam, pose_cov3)
+        det_e1_cov = cov_mod.screen_point_to_world_covariance(
+            det_e_scr1, new_c2w, cam, pose_cov3)
+
+        obs_e0 = det_e0_w[safe_l]
+        obs_e1 = det_e1_w[safe_l]
+        oc0 = det_e0_cov[safe_l]
+        oc1 = det_e1_cov[safe_l]
+        e0m = li.endpoints[:, :3]
+        e1m = li.endpoints[:, 3:]
+        # endpoint correspondence: segment endpoints are unordered, pick the
+        # assignment with the smaller total displacement
+        d_direct = (jnp.linalg.norm(e0m - obs_e0, axis=-1)
+                    + jnp.linalg.norm(e1m - obs_e1, axis=-1))
+        d_swap = (jnp.linalg.norm(e0m - obs_e1, axis=-1)
+                  + jnp.linalg.norm(e1m - obs_e0, axis=-1))
+        swap = (d_swap < d_direct)[:, None]
+        o0 = jnp.where(swap, obs_e1, obs_e0)
+        o1 = jnp.where(swap, obs_e0, obs_e1)
+        c0 = jnp.where(swap[..., None], oc1, oc0)
+        c1 = jnp.where(swap[..., None], oc0, oc1)
+        upd_e0, upd_c0, _, _ = kalman.track_points(e0m, li.cov[:, 0], o0, c0)
+        upd_e1, upd_c1, _, _ = kalman.track_points(e1m, li.cov[:, 1], o1, c1)
+        l_upd = (l_final & maps.alive(li) & l_depth_ok[safe_l])[:, None]
+        new_lines = li._replace(
+            endpoints=jnp.where(l_upd, jnp.concatenate([upd_e0, upd_e1], -1),
+                                li.endpoints),
+            cov=jnp.where(l_upd[..., None, None],
+                          jnp.stack([upd_c0, upd_c1], axis=1), li.cov),
+        )
+        # lifecycle: same staged/local rules as map points (promote >= 3,
+        # lose > 10 — map_point.cpp:251-274 convention applied to the new type)
+        l_loc, l_mc, l_miss, l_keepm = maps.lifecycle_update(
+            new_lines.is_local, new_lines.match_count, new_lines.miss_count,
+            l_final, cfg.mapping.point_staged_age_confidence,
+            cfg.mapping.point_unmatched_count_to_loose)
+        new_lines = maps.remove_features(
+            new_lines._replace(is_local=l_loc, match_count=l_mc,
+                               miss_count=l_miss),
+            l_keepm | ~maps.alive(li))
+        # insertion: unmatched valid detections with both endpoint depths
+        det_taken_l = jnp.zeros((DET_LINES_CAP,), bool).at[
+            jnp.where(l_match_idx >= 0, l_match_idx, DET_LINES_CAP)].set(
+            True, mode="drop")
+        want_l = det_lines.valid & l_depth_ok \
+            & (~det_taken_l | insert_all) & allow_insert
+        free_l = ~maps.alive(new_lines)
+        slots_l = maps.allocate_slots(free_l, want_l)
+        okl = slots_l >= 0
+        tgt_l = jnp.where(okl, slots_l, ml_cap)
+        ids_l = next_id + jnp.cumsum(okl.astype(jnp.int32)) - 1
+        cand_ep = jnp.concatenate([det_e0_w, det_e1_w], axis=-1)
+        cand_cov = jnp.stack([det_e0_cov, det_e1_cov], axis=1)
+        new_lines = new_lines._replace(
+            endpoints=new_lines.endpoints.at[tgt_l].set(cand_ep, mode="drop"),
+            cov=new_lines.cov.at[tgt_l].set(cand_cov, mode="drop"),
+            fid=new_lines.fid.at[tgt_l].set(ids_l, mode="drop"),
+            is_local=new_lines.is_local.at[tgt_l].set(False, mode="drop"),
+            match_count=new_lines.match_count.at[tgt_l].set(1, mode="drop"),
+            miss_count=new_lines.miss_count.at[tgt_l].set(0, mode="drop"),
+        )
+        next_id = next_id + jnp.sum(okl.astype(jnp.int32))
+    else:
+        new_lines = state.lines
+
     # --- next-frame tracking set (get_tracked_features, local_map.hpp:46-71) ----
     proj_next, proj_next_ok = pinhole.world_to_screen(new_points.pos, new_w2c, cam)
     in_screen = pinhole.is_in_screen_boundaries(proj_next, cam)
@@ -670,6 +892,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         quat=new_quat, position=new_pos, pose_cov=new_pose_cov,
         motion=motion_state,
         points=new_points, points2d=new_points2d, planes=new_planes,
+        lines=new_lines,
         prev_pyramid=tuple(pyr_cur),
         tracked_uv=tracked_uv_next,
         tracked_ok=tracked_ok_next,
@@ -689,6 +912,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_planes_alive=jnp.sum(maps.alive(new_planes)),
         n_detected=jnp.sum(det_valid),
         n_lines=n_lines,
+        n_line_matches=jnp.sum(l_final),
+        n_lines_alive=jnp.sum(maps.alive(new_lines)),
         n_cylinders=n_cylinders,
         cylinder_cells=cylinder_cells,
         point_obs_uv=p_obs_uv,

@@ -146,6 +146,12 @@ def export_slam_map(state, path: str):
             cart = np.asarray(idp.to_world(p2.state))
             for p in cart[alive2]:
                 w.add_point(p)
+        ln = getattr(state, "lines", None)
+        if ln is not None:
+            alivel = np.asarray(maps_mod.alive(ln))
+            eps = np.asarray(ln.endpoints)
+            for i in np.nonzero(alivel)[0]:
+                w.add_line(np.stack([eps[i, :3], eps[i, 3:]]))
         pl = state.planes
         alivep = np.asarray(maps_mod.alive(pl))
         for i in np.nonzero(alivep)[0]:

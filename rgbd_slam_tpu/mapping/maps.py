@@ -48,6 +48,30 @@ class Point2DMap(NamedTuple):
     miss_count: jnp.ndarray
 
 
+class LineMap(NamedTuple):
+    """World 3D line segments (NEW vs the reference: its line path is compiled out
+    and has no feature map, rgbd_slam.cpp:304-313 / SURVEY.md §2.3; this is the
+    north-star config-2 'points+lines pose' surface).  Endpoints are packed
+    [M, 6] = (e0 | e1) world mm; each endpoint carries a 3x3 Kalman covariance."""
+    endpoints: jnp.ndarray    # [M, 6] world mm (e0 | e1)
+    cov: jnp.ndarray          # [M, 2, 3, 3] per-endpoint covariance
+    fid: jnp.ndarray          # [M] int32
+    is_local: jnp.ndarray
+    match_count: jnp.ndarray
+    miss_count: jnp.ndarray
+
+
+def empty_line_map(capacity: int, dtype=jnp.float32) -> LineMap:
+    return LineMap(
+        endpoints=jnp.zeros((capacity, 6), dtype),
+        cov=jnp.zeros((capacity, 2, 3, 3), dtype),
+        fid=jnp.full((capacity,), -1, jnp.int32),
+        is_local=jnp.zeros((capacity,), bool),
+        match_count=jnp.zeros((capacity,), jnp.int32),
+        miss_count=jnp.zeros((capacity,), jnp.int32),
+    )
+
+
 class PlaneMap(NamedTuple):
     """World planes with polygon footprint (reference: MapPlane,
     map_primitive.{hpp,cpp})."""

@@ -22,12 +22,17 @@ import jax.numpy as jnp
 POINT_SCORE = 1.0 / 5.0
 POINT2D_SCORE = 1.0 / 5.0
 PLANE_SCORE = 1.0 / 3.0
+# lines never reach the reference's optimizer (USE_LINE_DETECTION undefined,
+# rgbd_slam.cpp:304-313); score follows the point convention (5 lines constrain a
+# pose) per the reference's planned point/line residual design (README.md:134-136)
+LINE_SCORE = 1.0 / 5.0
 
 # per-type residual weights alpha (reference: map_point.cpp:46, map_point2d.cpp:47,
 # map_primitive.cpp:64)
 POINT_ALPHA = 1.0
 POINT2D_ALPHA = 0.3
 PLANE_ALPHA = 1.0
+LINE_ALPHA = 1.0
 
 
 class MatchedFeatures(NamedTuple):
@@ -53,47 +58,65 @@ class MatchedFeatures(NamedTuple):
     plane_world_std: jnp.ndarray
     plane_mask: jnp.ndarray
 
+    # lines: observed screen segment endpoints vs map world segment (e0|e1 packed
+    # [NL, 6]); NEW vs the reference (README.md:134-136 design, never wired there)
+    line_obs_p0: jnp.ndarray
+    line_obs_p1: jnp.ndarray
+    line_world: jnp.ndarray
+    line_world_std: jnp.ndarray
+    line_mask: jnp.ndarray
+
     @property
     def capacities(self):
         return (self.point_mask.shape[-1], self.point2d_mask.shape[-1],
-                self.plane_mask.shape[-1])
+                self.plane_mask.shape[-1], self.line_mask.shape[-1])
 
     def scores(self):
-        """Per-feature scores over the unified index space [NP+N2+NK] (zero where
-        masked out)."""
+        """Per-feature scores over the unified index space [NP+N2+NK+NL] (zero
+        where masked out)."""
         dt = self.point_world.dtype
         return jnp.concatenate([
             jnp.where(self.point_mask, POINT_SCORE, 0.0).astype(dt),
             jnp.where(self.point2d_mask, POINT2D_SCORE, 0.0).astype(dt),
             jnp.where(self.plane_mask, PLANE_SCORE, 0.0).astype(dt),
+            jnp.where(self.line_mask, LINE_SCORE, 0.0).astype(dt),
         ], axis=-1)
 
     def valid_mask(self):
         return jnp.concatenate(
-            [self.point_mask, self.point2d_mask, self.plane_mask], axis=-1)
+            [self.point_mask, self.point2d_mask, self.plane_mask,
+             self.line_mask], axis=-1)
 
     def total_score(self):
         return jnp.sum(self.scores(), axis=-1)
 
     def split_unified(self, unified):
         """Split a unified-index array back into per-type blocks."""
-        np_, n2, nk = self.capacities
-        return unified[..., :np_], unified[..., np_:np_ + n2], unified[..., np_ + n2:]
+        np_, n2, nk, nl = self.capacities
+        return (unified[..., :np_], unified[..., np_:np_ + n2],
+                unified[..., np_ + n2:np_ + n2 + nk],
+                unified[..., np_ + n2 + nk:])
 
-    def with_masks(self, point_mask, point2d_mask, plane_mask):
+    def with_masks(self, point_mask, point2d_mask, plane_mask, line_mask=None):
         return self._replace(
             point_mask=point_mask & self.point_mask,
             point2d_mask=point2d_mask & self.point2d_mask,
             plane_mask=plane_mask & self.plane_mask,
+            line_mask=(self.line_mask if line_mask is None
+                       else line_mask & self.line_mask),
         )
 
 
 def make_matched_features(point_obs_uv=None, point_world=None, point_world_std=None,
                           point2d_obs_uv=None, point2d_state=None, point2d_state_std=None,
                           plane_cam=None, plane_world=None, plane_world_std=None,
-                          capacities=(64, 32, 8), dtype=jnp.float32) -> MatchedFeatures:
+                          line_obs_p0=None, line_obs_p1=None, line_world=None,
+                          line_world_std=None,
+                          capacities=(64, 32, 8, 8), dtype=jnp.float32) -> MatchedFeatures:
     """Build a mask-padded MatchedFeatures from (possibly None / shorter) arrays."""
-    np_, n2, nk = capacities
+    if len(capacities) == 3:
+        capacities = tuple(capacities) + (8,)
+    np_, n2, nk, nl = capacities
 
     def pad(arr, cap, width):
         mask = jnp.zeros((cap,), dtype=bool)
@@ -113,10 +136,16 @@ def make_matched_features(point_obs_uv=None, point_world=None, point_world_std=N
     k_c, k_mask = pad(plane_cam, nk, 4)
     k_w, _ = pad(plane_world, nk, 4)
     k_std, _ = pad(plane_world_std, nk, 4)
+    l_p0, l_mask = pad(line_obs_p0, nl, 2)
+    l_p1, _ = pad(line_obs_p1, nl, 2)
+    l_w, _ = pad(line_world, nl, 6)
+    l_std, _ = pad(line_world_std, nl, 6)
 
     return MatchedFeatures(
         point_obs_uv=p_uv, point_world=p_w, point_world_std=p_std, point_mask=p_mask,
         point2d_obs_uv=q_uv, point2d_state=q_st, point2d_state_std=q_std,
         point2d_mask=q_mask,
         plane_cam=k_c, plane_world=k_w, plane_world_std=k_std, plane_mask=k_mask,
+        line_obs_p0=l_p0, line_obs_p1=l_p1, line_world=l_w, line_world_std=l_std,
+        line_mask=l_mask,
     )

@@ -60,6 +60,28 @@ class WallScene:
         return gray, t.astype(np.float32)
 
 
+class StripeWallScene(WallScene):
+    """Wall with bold straight stripes: strong line structure, weak corner
+    texture.  Exercises the line-feature pose path (north-star config 2 —
+    'points+lines pose'); the stripe edges are the only high-contrast structure,
+    so a points-only run sees far fewer features than a points+lines run."""
+
+    def __init__(self, cam: CameraIntrinsics, wall_x: float = 2800.0,
+                 stripe_period: float = 500.0, stripe_width: float = 80.0,
+                 seed: int = 0):
+        super().__init__(cam, wall_x=wall_x, seed=seed)
+        self.period = stripe_period
+        self.width = stripe_width
+
+    def texture(self, y, z):
+        base = (130.0 + 8.0 * np.sin(y / 900.0) + 6.0 * np.cos(z / 1100.0)
+                + self._grid[np.floor(y / self.block).astype(int) % 256,
+                             np.floor(z / self.block).astype(int) % 256] * 0.12)
+        sy = (np.mod(y, self.period) < self.width)
+        sz = (np.mod(z, self.period) < self.width)
+        return base - 70.0 * sy - 50.0 * sz
+
+
 class TunnelScene:
     """Camera inside a textured cylindrical tunnel whose axis is world x
     (forward) — the CAPE-tunnel analogue (reference README.md:90-100)."""

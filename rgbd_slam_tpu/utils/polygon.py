@@ -123,6 +123,17 @@ def convex_hull_by_angle(pts2, mask, max_verts: int = MAX_VERTS):
 
     Returns (verts [max_verts, 2], count)."""
     n = pts2.shape[0]
+    # prefilter: the hull feeds on boundary-cell points (<= region perimeter,
+    # ~100 on the 24x32 cell grid), so for big inputs compact the masked points
+    # to 128 candidates in raster order before the O(n log n) angular sort — the
+    # sort+gathers at n=768 x 16 detections cost ~0.2 ms/frame otherwise
+    cap = 128
+    if n > cap:
+        pri = jnp.where(mask, -jnp.arange(n, dtype=pts2.dtype), -jnp.inf)
+        _, keep = jax.lax.top_k(pri, cap)
+        pts2 = pts2[keep]
+        mask = mask[keep]
+        n = cap
     cnt = jnp.maximum(jnp.sum(mask), 1)
     centroid = jnp.sum(jnp.where(mask[:, None], pts2, 0.0), axis=0) / cnt
     rel = pts2 - centroid

@@ -8,11 +8,22 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+# This VM advertises AVX512/AMX features it cannot reliably execute (XLA logs a
+# compile/execute machine-feature mismatch); full-suite runs intermittently
+# SEGFAULT inside XLA:CPU compile-and-load until codegen is capped to AVX2.
+if "xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# No persistent compilation cache in tests: long suite runs have segfaulted
+# inside XLA:CPU executable (de)serialization (compilation_cache.py
+# get_executable_and_time / _compile_and_write_cache), and concurrent writers
+# (TPU benches share the repo cache dir) make entries untrustworthy here.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import subprocess  # noqa: E402
 
