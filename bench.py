@@ -37,9 +37,11 @@ _enable_cache()
 from rgbd_slam_tpu import engine, runner  # noqa: E402
 from rgbd_slam_tpu.config import TUM_FR1, SlamConfig  # noqa: E402
 from rgbd_slam_tpu.geometry.covariances import DepthNoiseModel  # noqa: E402
-from rgbd_slam_tpu.synthetic import RoomScene, orbit_trajectory  # noqa: E402
+from rgbd_slam_tpu.synthetic import (  # noqa: E402
+    RoomScene, TunnelScene, orbit_trajectory)
 
 N_FRAMES = 120
+N_TUNNEL_FRAMES = 100
 
 
 def render_frames(cam):
@@ -78,11 +80,39 @@ def bench_throughput(frames, gt_pos, cam, cfg):
 
 
 def bench_accuracy(frames, gt_pos, cam, cfg):
-    """Full-trajectory ATE with the BA backend live in the loop (ba_every=8)."""
+    """Full-trajectory ATE with the BA backend live in the loop (ba_every=8),
+    plus the BA-off ablation on the SAME frames — whether live BA helps is a
+    measured number, not an assumption (VERDICT r2 weak #4)."""
     state, traj, stats = runner.run_frames(frames, cam, cfg, with_planes=True,
                                            ba_every=8)
     metrics = runner.evaluate_against_ground_truth(traj, gt_pos)
-    return metrics["ate_rmse_mm"], stats
+    _, traj_off, _ = runner.run_frames(frames, cam, cfg, with_planes=True)
+    metrics_off = runner.evaluate_against_ground_truth(traj_off, gt_pos)
+    return metrics["ate_rmse_mm"], metrics_off["ate_rmse_mm"], stats
+
+
+def tunnel_trajectory(n_frames):
+    """Forward flight along the tunnel axis (world x) with slow yaw — the
+    CAPE-tunnel analogue run (north-star config 3, main_CAPE.cpp:48-65)."""
+    from rgbd_slam_tpu.synthetic import _quat_from_euler
+    poses = []
+    for i in range(n_frames):
+        quat = _quat_from_euler(np.radians(0.03) * i, 0.0, 0.0)
+        pos = np.array([8.0 * i, 0.3 * i, 0.2 * i], np.float32)
+        poses.append((quat, pos))
+    return poses
+
+
+def bench_tunnel(cam, cfg):
+    """Full-sequence ATE inside the cylindrical tunnel with planes+cylinders on
+    (cylinders previously had single-frame tests only, VERDICT r2 next #6)."""
+    scene = TunnelScene(cam)
+    poses = tunnel_trajectory(N_TUNNEL_FRAMES)
+    frames = [scene.render(q, p) for q, p in poses]
+    gt = np.stack([p for _, p in poses]).astype(np.float64)
+    _, traj, _ = runner.run_frames(frames, cam, cfg, with_planes=True)
+    metrics = runner.evaluate_against_ground_truth(traj, gt)
+    return metrics["ate_rmse_mm"]
 
 
 def main():
@@ -90,7 +120,8 @@ def main():
     frames, gt_pos = render_frames(cam)
 
     fps, final_err, success = bench_throughput(frames, gt_pos, cam, cfg)
-    ate_mm, stats = bench_accuracy(frames, gt_pos, cam, cfg)
+    ate_mm, ate_off_mm, stats = bench_accuracy(frames, gt_pos, cam, cfg)
+    tunnel_ate_mm = bench_tunnel(cam, cfg)
 
     result = {
         "metric": "frames_per_second_per_chip",
@@ -98,7 +129,10 @@ def main():
         "unit": "fps@640x480",
         "vs_baseline": round(fps / 400.0, 4),
         "ate_rmse_mm": round(ate_mm, 3),
+        "ate_ba_off_mm": round(ate_off_mm, 3),
         "ate_frames": N_FRAMES,
+        "ate_tunnel_mm": round(tunnel_ate_mm, 3),
+        "tunnel_frames": N_TUNNEL_FRAMES,
         "final_pose_error_mm": round(final_err, 2),
         "tracking_success": success,
         "ba_iters_per_s": round(stats.ba_iters_per_s, 1),

@@ -33,6 +33,20 @@ from ..geometry import pinhole, se3
 from ..pose.linalg6 import inv3
 
 DAMPING = 1e-4
+HUBER_PX = 3.0   # robust-kernel scale = the engine's point inlier gate
+                 # (reference: map_point.cpp:16-65, parameters.hpp matching 3 px)
+
+# Prior (anchor) weights.  The window's observations are LK tracks whose small
+# systematic drift a plain least-squares BA fits EXACTLY — moving landmarks and
+# poses with the drift and making the trajectory worse than odometry (measured
+# via the runner's ba ablations).  Anchoring landmarks at their KF-fused map
+# positions (the front end's Kalman estimate, which damps observation noise by
+# design — SURVEY.md §2.6) and poses at odometry turns BA into a redistribution
+# of error inside the window instead of a re-fit of drifting tracks.
+# Units: residual-space information; weights = 1/sigma^2.
+LM_PRIOR_W = 1.0 / (10.0 ** 2)        # landmark anchor sigma 10 mm
+POSE_PRIOR_POS_W = 1.0 / (5.0 ** 2)   # odometry position sigma 5 mm
+POSE_PRIOR_ROT_W = 1.0 / (0.002 ** 2) # stereographic coeff sigma 0.002 (~0.23 deg)
 
 
 def _project_residual(pose6, landmark, uv, cam: CameraIntrinsics):
@@ -45,7 +59,14 @@ def _project_residual(pose6, landmark, uv, cam: CameraIntrinsics):
 
 
 def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics):
-    """Per-observation residuals and Jacobian blocks, batched over [L, C]."""
+    """Per-observation residuals and Jacobian blocks, batched over [L, C].
+
+    Residuals/Jacobians carry a Huber IRLS weight sqrt(HUBER_PX / |r|) beyond
+    the kernel scale: the front end RANSAC-gates its matches, but the window
+    problem sees every surviving association, and one wrong association with a
+    large residual would otherwise dominate the quadratic cost and drag every
+    pose in the window (measured: live BA *hurt* full-trajectory ATE until
+    robustified)."""
 
     def one(lm, kf_idx, uv, ok):
         pose6 = poses[kf_idx]
@@ -56,7 +77,9 @@ def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics
         r = rf(pose6, lm)
         jp = jax.jacfwd(rf, argnums=0)(pose6, lm)   # [2, 6]
         jl = jax.jacfwd(rf, argnums=1)(pose6, lm)   # [2, 3]
-        m = ok.astype(r.dtype)
+        rn = jnp.linalg.norm(r)
+        hub = jnp.sqrt(HUBER_PX / jnp.maximum(rn, HUBER_PX))
+        m = ok.astype(r.dtype) * hub
         return r * m, jp * m, jl * m
 
     return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0)),
@@ -64,17 +87,24 @@ def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics
 
 
 def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
-                  cam: CameraIntrinsics, n_keyframes: int, axis_name=None):
+                  cam: CameraIntrinsics, n_keyframes: int, axis_name=None,
+                  pose_anchor=None, lm_anchor=None):
     """One Schur-complement GN step.  When ``axis_name`` is set, landmark-axis
-    partial sums are psum-reduced across the mesh (the distributed path)."""
+    partial sums are psum-reduced across the mesh (the distributed path).
+    ``pose_anchor``/``lm_anchor`` add prior residuals pulling toward the
+    odometry poses and KF-fused landmark positions (see prior-weight note)."""
     k = n_keyframes
     dt = poses.dtype
     r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam)
     # r [L,C,2], jp [L,C,2,6], jl [L,C,2,3]
 
+    lm_prior_w = LM_PRIOR_W if lm_anchor is not None else 0.0
     # landmark blocks (local to each shard)
-    hll = jnp.einsum("lcri,lcrj->lij", jl, jl) + DAMPING * jnp.eye(3, dtype=dt)
+    hll = jnp.einsum("lcri,lcrj->lij", jl, jl) \
+        + (DAMPING + lm_prior_w) * jnp.eye(3, dtype=dt)
     bl = jnp.einsum("lcri,lcr->li", jl, r)
+    if lm_anchor is not None:
+        bl = bl + lm_prior_w * (landmarks - lm_anchor)
     hll_inv = inv3(hll)  # closed-form adjugate: no batched LU loops on TPU
 
     # per-observation pose blocks
@@ -110,6 +140,13 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
         s_corr = jax.lax.psum(s_corr, axis_name)
         bp_corr = jax.lax.psum(bp_corr, axis_name)
 
+    if pose_anchor is not None:
+        # odometry prior, added once globally (after the psum): diagonal
+        # information + pull toward the anchor coefficients
+        wdiag = jnp.asarray([POSE_PRIOR_POS_W] * 3 + [POSE_PRIOR_ROT_W] * 3, dt)
+        hpp = hpp + jnp.diag(wdiag)[None, :, :]
+        bp = bp + wdiag[None, :] * (poses - pose_anchor)
+
     big_hpp = jnp.zeros((k, 6, k, 6), dt)
     big_hpp = big_hpp.at[jnp.arange(k), :, jnp.arange(k), :].set(hpp)
     s_mat = big_hpp.reshape(k * 6, k * 6) - s_corr
@@ -140,13 +177,21 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
 
 
 def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
-             iterations: int = 8):
-    """Single-device windowed BA (the correctness anchor, SURVEY.md §7 risk list)."""
+             iterations: int = 8, anchored: bool = False):
+    """Single-device windowed BA (the correctness anchor, SURVEY.md §7 risk list).
+
+    ``anchored=True`` adds the odometry/map priors (the live-pipeline mode);
+    the default un-anchored solve is the pure-BA mode used by convergence and
+    sharding-equivalence tests."""
     k = poses.shape[0]
+    pose_anchor = poses if anchored else None
+    lm_anchor = landmarks if anchored else None
 
     def body(carry, _):
         p, l = carry
-        p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam, k)
+        p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam, k,
+                                     pose_anchor=pose_anchor,
+                                     lm_anchor=lm_anchor)
         return (p2, l2), cost
 
     (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
@@ -155,7 +200,8 @@ def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
 
 
 def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
-                    iterations: int = 8, axis: str = "lm"):
+                    iterations: int = 8, axis: str = "lm",
+                    anchored: bool = False):
     """Build the distributed BA step: landmarks + observations sharded over the
     ``axis`` mesh dimension, reduced camera system psum-reduced over ICI.
 
@@ -164,10 +210,15 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
     shard_map = jax.shard_map
 
     def stepfn(poses, landmarks, obs_kf, obs_uv, obs_mask):
+        pose_anchor = poses if anchored else None
+        lm_anchor = landmarks if anchored else None
+
         def body(carry, _):
             p, l = carry
             p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam,
-                                         n_keyframes, axis_name=axis)
+                                         n_keyframes, axis_name=axis,
+                                         pose_anchor=pose_anchor,
+                                         lm_anchor=lm_anchor)
             return (p2, l2), cost
 
         (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,

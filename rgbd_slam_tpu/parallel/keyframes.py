@@ -160,14 +160,14 @@ class KeyframeWindow:
             if self._sharded_solver is None:
                 self._sharded_solver = ba.make_sharded_ba(
                     mesh, cam, n_keyframes=self.max_keyframes,
-                    iterations=iterations)
+                    iterations=iterations, anchored=True)
             return self._sharded_solver
         if self._solver is None:
 
             @jax.jit
             def solve(poses, landmarks, obs_kf, obs_uv, obs_mask):
                 return ba.ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask,
-                                   cam, iterations=iterations)
+                                   cam, iterations=iterations, anchored=True)
 
             self._solver = solve
         return self._solver
