@@ -47,10 +47,12 @@ def main():
                     help="use the C++ prefetching PNG loader")
     args = ap.parse_args()
 
+    setup = None
     if args.camera_yaml:
         from rgbd_slam_tpu.config import load_camera_yaml
 
-        cam = load_camera_yaml(args.camera_yaml).rgb
+        setup = load_camera_yaml(args.camera_yaml)
+        cam = setup.rgb
     else:
         cam = CAMERAS[args.camera]
     cfg = SlamConfig()
@@ -82,7 +84,8 @@ def main():
                   f"planes={int(out.n_planes_alive)} ({dt * 1000:.0f} ms)")
 
     state, traj, stats = runner.run_frames(
-        frames, cam, cfg, with_planes=not args.no_planes, on_frame=on_frame)
+        frames, cam, cfg, with_planes=not args.no_planes, on_frame=on_frame,
+        camera_setup=setup)
     print(stats.summary())
 
     gt = [i.gt_position for i in index if i.gt_position is not None]

@@ -241,9 +241,17 @@ class CameraSetup:
 
 
 def load_camera_yaml(path: str) -> CameraSetup:
-    """Parse the reference's camera YAML format (examples/configuration_example.yaml;
-    parser parity: src/parameters.cpp:10-57).  Uses a minimal hand parser to avoid an
-    OpenCV FileStorage dependency."""
+    """Parse the reference's camera YAML format — the exact key names of
+    examples/configuration_example.yaml (camera_1_focal_x, ...,
+    camera_2_translation_offset_x; parser parity: src/parameters.cpp:10-57).
+    Uses a minimal hand parser to avoid an OpenCV FileStorage dependency.
+
+    The camera-2 (depth) offsets build the depth->rgb extrinsic 4x4 used by
+    ``ops.depth_cloud.rectify_depth`` (reference:
+    depth_map_transformation.cpp:23-87): translation in mm, rotation as euler
+    angles in radians (parameters.cpp:38-49)."""
+    import math
+
     values: dict[str, float] = {}
     with open(path) as f:
         for line in f:
@@ -257,15 +265,36 @@ def load_camera_yaml(path: str) -> CameraSetup:
 
     def cam(prefix: str) -> CameraIntrinsics:
         return CameraIntrinsics(
-            width=int(values.get(f"{prefix}SizeX", 640)),
-            height=int(values.get(f"{prefix}SizeY", 480)),
-            fx=values.get(f"{prefix}FocalX", 550.0),
-            fy=values.get(f"{prefix}FocalY", 550.0),
-            cx=values.get(f"{prefix}CenterX", 320.0),
-            cy=values.get(f"{prefix}CenterY", 240.0),
+            width=int(values.get(f"{prefix}_size_x", 640)),
+            height=int(values.get(f"{prefix}_size_y", 480)),
+            fx=values.get(f"{prefix}_focal_x", 550.0),
+            fy=values.get(f"{prefix}_focal_y", 550.0),
+            cx=values.get(f"{prefix}_center_x", 320.0),
+            cy=values.get(f"{prefix}_center_y", 240.0),
         )
 
-    return CameraSetup(rgb=cam("camera1"), depth=cam("camera2"))
+    rx = values.get("camera_2_rotation_offset_x", 0.0)
+    ry = values.get("camera_2_rotation_offset_y", 0.0)
+    rz = values.get("camera_2_rotation_offset_z", 0.0)
+    tx = values.get("camera_2_translation_offset_x", 0.0)
+    ty = values.get("camera_2_translation_offset_y", 0.0)
+    tz = values.get("camera_2_translation_offset_z", 0.0)
+    # euler (XYZ, radians) -> rotation matrix (reference:
+    # utils::get_quaternion_from_euler_angles, angle_utils.hpp:8-22)
+    cx_, sx = math.cos(rx), math.sin(rx)
+    cy_, sy = math.cos(ry), math.sin(ry)
+    cz, sz = math.cos(rz), math.sin(rz)
+    r = [
+        [cy_ * cz, sx * sy * cz - cx_ * sz, cx_ * sy * cz + sx * sz],
+        [cy_ * sz, sx * sy * sz + cx_ * cz, cx_ * sy * sz - sx * cz],
+        [-sy, sx * cy_, cx_ * cy_],
+    ]
+    depth_to_rgb = tuple(
+        tuple(r[i]) + (t,) for i, t in enumerate((tx, ty, tz))
+    ) + ((0.0, 0.0, 0.0, 1.0),)
+
+    return CameraSetup(rgb=cam("camera_1"), depth=cam("camera_2"),
+                       depth_to_rgb=depth_to_rgb)
 
 
 # Default TUM freiburg1 intrinsics (TUM fr1 standard calibration)

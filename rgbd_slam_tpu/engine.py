@@ -313,10 +313,21 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         det_mask = fast.tracked_points_mask(
             (cam.height, cam.width), of_uv_t, of_ok_t,
             det_cfg.tracked_mask_radius_px)
+        # Dynamic FAST threshold from the empirical points->threshold curve
+        # (keypoint_detection.cpp:48-65) evaluated on the CURRENT point deficit
+        # as a traced scalar — detection density tracks demand frame to frame
+        # with zero recompiles.  At full deficit (maximumPointPerFrame) this
+        # reproduces the reference's static 10x/30x constants (24 / 8); with
+        # most points still tracked the threshold rises, so refresh frames
+        # return only strong corners instead of re-flooding the matcher.
+        deficit = jnp.maximum(
+            det_cfg.max_point_per_frame - jnp.sum(of_ok_t), 10).astype(dt)
+        thr = 41.2378 * jnp.power(0.99945, 10.0 * deficit)
+        thr_low = 41.2378 * jnp.power(0.99945, 30.0 * deficit)
         xy, score, valid = fast.detect_fast_grid(
             gray, detection_mask=det_mask,
-            threshold=float(det_cfg.fast_threshold),
-            low_threshold=float(det_cfg.fast_threshold_low),
+            threshold=thr,
+            low_threshold=thr_low,
             max_points=det_cfg.max_point_per_frame,
             cell_rows=det_cfg.keypoint_cell_detection_height_count,
             cell_cols=det_cfg.keypoint_cell_detection_width_count)

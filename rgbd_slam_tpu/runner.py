@@ -149,7 +149,8 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                ba_iterations: int = 8, ba_mesh=None,
                kf_min_trans_mm: float = 20.0, kf_min_rot_deg: float = 1.0,
                with_pose_graph: bool = True,
-               ba_update_map: bool = True, ba_correct_traj: bool = True):
+               ba_update_map: bool = True, ba_correct_traj: bool = True,
+               camera_setup=None):
     """Run the engine over an iterable of (gray, depth[, timestamp]) frames.
 
     When ``ba_every`` is set, a sliding :class:`KeyframeWindow` collects
@@ -176,6 +177,19 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
     traj = Trajectory()
     stats = RunStats()
 
+    # Depth rectification (reference: rgbd_slam.cpp:99-121 rectifies in its L1
+    # API via depth_map_transformation.cpp:23-87).  Applied only for a
+    # non-identity depth->rgb extrinsic: at identity the reference's warp is a
+    # no-op and skipping it keeps the hot path free of a scatter kernel.
+    rectify = None
+    if camera_setup is not None:
+        ext = np.asarray(camera_setup.depth_to_rgb, np.float64)
+        if not np.allclose(ext, np.eye(4)):
+            from .ops.depth_cloud import rectify_depth
+            dcam, ext_t = camera_setup.depth, camera_setup.depth_to_rgb
+            rectify = jax.jit(
+                lambda d: rectify_depth(d, dcam, cam, jnp.asarray(ext_t)))
+
     window = None
     graph = None
     last_kf_quat = None
@@ -195,6 +209,8 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
             ts = float(i)
         gray = jnp.asarray(gray, jnp.float32)
         depth = jnp.asarray(depth, jnp.float32)
+        if rectify is not None:
+            depth = rectify(depth)
 
         t0 = time.time()
         state, out = engine.step(state, gray, depth, cam, cfg,

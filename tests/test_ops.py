@@ -237,3 +237,62 @@ class TestDepthCloud:
         # identity extrinsics: most pixels keep their depth
         close = np.abs(np.asarray(out) - np.asarray(depth)) < 1.0
         assert close.mean() > 0.95
+
+
+class TestRectifyTwoCamera:
+    """Non-identity depth->rgb extrinsics against a synthetic two-camera render
+    (VERDICT r2 next #7; reference: rgbd_slam.cpp:99-121 +
+    depth_map_transformation.cpp:23-87)."""
+
+    def test_offset_camera_rectifies_onto_rgb_view(self):
+        from rgbd_slam_tpu.config import CameraIntrinsics
+        from rgbd_slam_tpu.synthetic import RoomScene
+
+        cam = CameraIntrinsics(width=160, height=120, fx=130.0, fy=130.0,
+                               cx=80.0, cy=60.0)
+        scene = RoomScene(cam)
+        ident = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        # depth camera 20 mm to the RIGHT of the rgb camera: physical frame is
+        # x fwd / y left / z up (se3.AXIS_CORRECTION), so right = -y world; in
+        # optical coords (x right, y down, z fwd) the offset is +x
+        _, depth_rgb_view = scene.render(ident, np.zeros(3, np.float32))
+        _, depth_cam_view = scene.render(ident,
+                                         np.array([0.0, -20.0, 0.0], np.float32))
+        ext = np.eye(4)
+        ext[0, 3] = 20.0  # depth-cam optical origin at +20 mm x in rgb frame
+        out = np.asarray(depth_cloud.rectify_depth(
+            jnp.asarray(depth_cam_view), cam, cam, ext))
+        both = (out > 0) & (depth_rgb_view > 0)
+        assert both.mean() > 0.8
+        err = np.abs(out - depth_rgb_view)[both]
+        # forward-warp quantization is ~1 px; the scene's depth gradient keeps
+        # the residual within a few mm for the bulk of pixels
+        assert np.median(err) < 5.0
+        assert (err < 25.0).mean() > 0.9
+
+    def test_runner_applies_rectification(self):
+        from rgbd_slam_tpu import runner
+        from rgbd_slam_tpu.config import (CameraIntrinsics, CameraSetup,
+                                          SlamConfig)
+        from rgbd_slam_tpu.synthetic import RoomScene, lateral_trajectory
+
+        cam = CameraIntrinsics(width=160, height=120, fx=130.0, fy=130.0,
+                               cx=80.0, cy=60.0)
+        cfg = SlamConfig()
+        scene = RoomScene(cam)
+        ident = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        ext = tuple(tuple(row) for row in
+                    [[1.0, 0.0, 0.0, 20.0], [0.0, 1.0, 0.0, 0.0],
+                     [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]])
+        setup = CameraSetup(rgb=cam, depth=cam, depth_to_rgb=ext)
+        frames = []
+        for q, p in lateral_trajectory(4, speed_mm=5.0):
+            gray, _ = scene.render(q, p)
+            # depth rendered from the OFFSET camera; the runner must rectify it
+            # into the rgb view before the engine consumes it
+            _, depth = scene.render(q, p + np.array([0.0, -20.0, 0.0],
+                                                    np.float32))
+            frames.append((gray, depth))
+        _, traj, stats = runner.run_frames(frames, cam, cfg, with_planes=True,
+                                           camera_setup=setup)
+        assert stats.success_count >= 2

@@ -57,12 +57,13 @@ def make_tum_room_dataset(tmp_path, n_frames=5):
 
     yaml = tmp_path / "camera.yaml"
     yaml.write_text(
-        "camera1SizeX: 320\ncamera1SizeY: 240\n"
-        "camera1FocalX: 260.0\ncamera1FocalY: 260.0\n"
-        "camera1CenterX: 160.0\ncamera1CenterY: 120.0\n"
-        "camera2SizeX: 320\ncamera2SizeY: 240\n"
-        "camera2FocalX: 260.0\ncamera2FocalY: 260.0\n"
-        "camera2CenterX: 160.0\ncamera2CenterY: 120.0\n")
+        # the reference's exact YAML key format (configuration_example.yaml)
+        "camera_1_size_x: 320\ncamera_1_size_y: 240\n"
+        "camera_1_focal_x: 260.0\ncamera_1_focal_y: 260.0\n"
+        "camera_1_center_x: 160.0\ncamera_1_center_y: 120.0\n"
+        "camera_2_size_x: 320\ncamera_2_size_y: 240\n"
+        "camera_2_focal_x: 260.0\ncamera_2_focal_y: 260.0\n"
+        "camera_2_center_x: 160.0\ncamera_2_center_y: 120.0\n")
     return str(d), str(yaml)
 
 
