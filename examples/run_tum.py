@@ -3,7 +3,8 @@
 
 Usage:
     python examples/run_tum.py -d /path/to/rgbd_dataset_freiburg1_xyz \\
-        [-c tum_fr1] [-n MAX_FRAMES] [-o trajectory.txt] [-m map.obj] [--no-planes]
+        [-c tum_fr1] [-n MAX_FRAMES] [-o trajectory.txt] [-m map.obj] \\
+        [--no-planes] [--lines] [--ba N] [--stream-map]
 
 Prints per-frame status, final ATE-RMSE vs groundtruth (when present — replacing the
 reference's ad-hoc per-frame error print, main_TUM.cpp:264-270), and the stage timing
@@ -43,6 +44,17 @@ def main():
     ap.add_argument("-o", "--trajectory-out", default="")
     ap.add_argument("-m", "--map-out", default="")
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--lines", action="store_true",
+                    help="enable the line feature map + line pose residuals "
+                         "(north-star config 2; beyond the reference, whose "
+                         "line path is compiled out)")
+    ap.add_argument("--ba", dest="ba_every", type=int, default=0, metavar="N",
+                    help="run windowed Schur BA every N frames (0 = off), with "
+                         "keyframe selection and pose-graph stitching")
+    ap.add_argument("--stream-map", action="store_true",
+                    help="stream the map file during the run (features append "
+                         "at death, reference feature_map.hpp:748-758) instead "
+                         "of a shutdown snapshot; requires -m")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ prefetching PNG loader")
     args = ap.parse_args()
@@ -84,9 +96,16 @@ def main():
                   f"planes={int(out.n_planes_alive)} ({dt * 1000:.0f} ms)")
 
     state, traj, stats = runner.run_frames(
-        frames, cam, cfg, with_planes=not args.no_planes, on_frame=on_frame,
+        frames, cam, cfg, with_planes=not args.no_planes,
+        with_lines=args.lines, on_frame=on_frame,
+        ba_every=args.ba_every or None,
+        export_map=(args.map_out if args.stream_map and args.map_out else None),
         camera_setup=setup)
     print(stats.summary())
+    if args.ba_every:
+        print(f"BA: runs={stats.ba_runs} accepted={stats.ba_accepted} "
+              f"iters/s={stats.ba_iters_per_s:.1f} "
+              f"keyframes={stats.keyframe_count}")
 
     gt = [i.gt_position for i in index if i.gt_position is not None]
     if len(gt) == len(index):
@@ -98,8 +117,9 @@ def main():
     if args.trajectory_out:
         traj.save_tum_format(args.trajectory_out)
         print(f"trajectory -> {args.trajectory_out}")
-    if args.map_out:
+    if args.map_out and not args.stream_map:
         export_slam_map(state, args.map_out)
+    if args.map_out:
         print(f"map -> {args.map_out}")
     return 0
 

@@ -57,7 +57,9 @@ class RansacConfig:
     # lines in pose optimization are NEW vs the reference (its line path is
     # compiled out, rgbd_slam.cpp:304-313); px gate follows the point convention
     max_retroprojection_error_line_px: float = 3.0
-    min_inlier_proportion_early_stop: float = 0.80
+    # NOTE: the reference's 80% early-stop (pose_optimization.cpp:218-223) has
+    # no equivalent here by design — all RANSAC hypotheses evaluate in one
+    # lockstep batch, so there is nothing to stop early (see PARITY.md).
     probability_of_success: float = 0.8
     inlier_proportion: float = 0.65
     feature_trust_count: float = 10.0
@@ -96,17 +98,33 @@ class DetectionConfig:
     optical_flow_window_width: int = 12
     optical_flow_iterations: int = 10
 
-    # FAST detector: thresholds derive from the reference's empirical
-    # points->threshold curve 41.2378 * 0.99945^points evaluated at 10x and 30x
-    # maximumPointPerFrame (keypoint_detection.cpp:48-65) => 24 / 8 at 100 points.
-    fast_threshold: int = 24
-    fast_threshold_low: int = 8  # more-sensitive fallback tier
+    # FAST detector: the reference's empirical points->threshold curve
+    # thr(points) = scale * decay^points (keypoint_detection.cpp:48-65).  The
+    # engine evaluates it on the CURRENT point deficit at the high (normal
+    # tier) and low (more-sensitive fallback tier) multipliers; at full
+    # deficit (maximumPointPerFrame) this gives the reference's 24 / 8.
+    fast_curve_scale: float = 41.2378
+    fast_curve_decay: float = 0.99945
+    fast_deficit_mult_high: float = 10.0
+    fast_deficit_mult_low: float = 30.0
 
-    @staticmethod
-    def fast_threshold_curve(points_to_detect: float) -> int:
+    def fast_threshold_curve(self, points_to_detect: float) -> int:
         """Empirical FAST points->threshold curve (reference:
         keypoint_detection.cpp:49-52)."""
-        return int(math.ceil(41.2378 * (0.99945 ** points_to_detect)))
+        return int(math.ceil(
+            self.fast_curve_scale * (self.fast_curve_decay ** points_to_detect)))
+
+    @property
+    def fast_threshold(self) -> int:
+        """Static normal-tier threshold (curve at 10x maximumPointPerFrame)."""
+        return self.fast_threshold_curve(
+            self.fast_deficit_mult_high * self.max_point_per_frame)
+
+    @property
+    def fast_threshold_low(self) -> int:
+        """Static sensitive-tier threshold (curve at 30x maximumPointPerFrame)."""
+        return self.fast_threshold_curve(
+            self.fast_deficit_mult_low * self.max_point_per_frame)
 
     # inverse depth
     inverse_depth_baseline: float = 1.0 / 1000.0      # 1/mm
@@ -179,8 +197,6 @@ class EngineConfig:
                                       # from an already-optimized hypothesis, so it
                                       # needs fewer iterations than the subset solves
                                       # (it is the frame's longest sequential chain)
-    mc_lm_iterations: int = 5         # LM iterations per MC covariance sample (the
-                                      # perturbed solves start at the optimum)
     ransac_hypothesis_batch: int = 32 # batched hypotheses replace the tbb loop
                                       # (the reference's own formula gives ~25
                                       # iterations, pose_optimization.cpp:129-132)
@@ -279,16 +295,30 @@ def load_camera_yaml(path: str) -> CameraSetup:
     tx = values.get("camera_2_translation_offset_x", 0.0)
     ty = values.get("camera_2_translation_offset_y", 0.0)
     tz = values.get("camera_2_translation_offset_z", 0.0)
-    # euler (XYZ, radians) -> rotation matrix (reference:
-    # utils::get_quaternion_from_euler_angles, angle_utils.hpp:8-22)
-    cx_, sx = math.cos(rx), math.sin(rx)
-    cy_, sy = math.cos(ry), math.sin(ry)
-    cz, sz = math.cos(rz), math.sin(rz)
-    r = [
-        [cy_ * cz, sx * sy * cz - cx_ * sz, cx_ * sy * cz + sx * sz],
-        [cy_ * sz, sx * sy * sz + cx_ * cz, cx_ * sy * sz - sx * cz],
-        [-sy, sx * cy_, cx_ * cy_],
-    ]
+    # Rotation parity quirk: parameters.cpp:44-48 passes (rotX, rotY, rotZ) to
+    # the EulerAngles(yaw, pitch, roll) ctor (types.hpp:80), so yaw=rotX,
+    # pitch=rotY, roll=rotZ; get_quaternion_from_euler_angles then composes
+    # AngleAxis(roll,X)*AngleAxis(pitch,Y)*AngleAxis(yaw,Z)
+    # (angle_utils.cpp:6-12) — i.e. the matrix is Rx(rotZ)*Ry(rotY)*Rz(rotX).
+    # Mirror that exactly so non-axis-aligned depth->rgb offsets rectify the
+    # same way they do upstream.
+    def _rot_x(a):
+        c, s = math.cos(a), math.sin(a)
+        return [[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]]
+
+    def _rot_y(a):
+        c, s = math.cos(a), math.sin(a)
+        return [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]]
+
+    def _rot_z(a):
+        c, s = math.cos(a), math.sin(a)
+        return [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]
+
+    def _matmul(a, b):
+        return [[sum(a[i][k] * b[k][j] for k in range(3)) for j in range(3)]
+                for i in range(3)]
+
+    r = _matmul(_rot_x(rz), _matmul(_rot_y(ry), _rot_z(rx)))
     depth_to_rgb = tuple(
         tuple(r[i]) + (t,) for i, t in enumerate((tx, ty, tz))
     ) + ((0.0, 0.0, 0.0, 1.0),)

@@ -76,6 +76,27 @@ class StepOutput(NamedTuple):
     point_obs_uv: jnp.ndarray   # [M3, 2] matched screen observation
     point_matched: jnp.ndarray  # [M3] bool (match AND RANSAC inlier)
     point_fid: jnp.ndarray      # [M3] map feature id (-1 = empty)
+    # streaming feature-death export records (feature_map.hpp:748-758: LOCAL
+    # features are appended to the map file when lost — unless moving — so the
+    # final export is the union of everything ever mapped, not a shutdown
+    # snapshot).  Snapshots are taken post-update / pre-insertion, so the
+    # runner can harvest dying slots even when insertion reuses them.
+    n_evicted: jnp.ndarray          # [] total dying features this frame (the
+                                    # runner fetches the full records below
+                                    # only when this scalar is nonzero)
+    point_evicted: jnp.ndarray      # [M3] bool
+    point_evict_pos: jnp.ndarray    # [M3, 3]
+    point2d_evicted: jnp.ndarray    # [M2] bool
+    point2d_evict_pos: jnp.ndarray  # [M2, 3] cartesian estimate at death
+    plane_evicted: jnp.ndarray      # [MP] bool
+    plane_evict_params: jnp.ndarray # [MP, 4]
+    plane_evict_verts: jnp.ndarray  # [MP, V, 2]
+    plane_evict_count: jnp.ndarray  # [MP]
+    plane_evict_center: jnp.ndarray # [MP, 3]
+    plane_evict_u: jnp.ndarray      # [MP, 3]
+    plane_evict_v: jnp.ndarray      # [MP, 3]
+    line_evicted: jnp.ndarray       # [ML] bool
+    line_evict_eps: jnp.ndarray     # [ML, 6]
 
 
 def init_state(cam: CameraIntrinsics, cfg: SlamConfig,
@@ -322,8 +343,10 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         # return only strong corners instead of re-flooding the matcher.
         deficit = jnp.maximum(
             det_cfg.max_point_per_frame - jnp.sum(of_ok_t), 10).astype(dt)
-        thr = 41.2378 * jnp.power(0.99945, 10.0 * deficit)
-        thr_low = 41.2378 * jnp.power(0.99945, 30.0 * deficit)
+        thr = det_cfg.fast_curve_scale * jnp.power(
+            det_cfg.fast_curve_decay, det_cfg.fast_deficit_mult_high * deficit)
+        thr_low = det_cfg.fast_curve_scale * jnp.power(
+            det_cfg.fast_curve_decay, det_cfg.fast_deficit_mult_low * deficit)
         xy, score, valid = fast.detect_fast_grid(
             gray, detection_mask=det_mask,
             threshold=thr,
@@ -655,10 +678,17 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         new_planes = pl
 
     # --- lifecycle ---------------------------------------------------------
-    promote_pts = cfg.mapping.point_staged_age_confidence  # confidence>0.9 => 3 hits
+    # staged confidence = matches / point_staged_age_confidence, promote when
+    # > point_min_confidence_for_map (map_point.cpp:251-274): hits > 0.9*3 => 3
+    promote_pts = int(cfg.mapping.point_min_confidence_for_map
+                      * cfg.mapping.point_staged_age_confidence) + 1
     p_loc, p_mc, p_miss, p_keep = maps.lifecycle_update(
         new_points.is_local, new_points.match_count, new_points.miss_count,
         p_final, promote_pts, cfg.mapping.point_unmatched_count_to_loose)
+    # death-export record (feature_map.hpp:748-758: lost LOCAL features stream
+    # to the map writer unless moving); snapshot before insertion reuses slots
+    p_evicted = pts_alive & new_points.is_local & ~p_keep & ~new_points.is_moving
+    p_evict_pos = new_points.pos
     new_points = maps.remove_features(
         new_points._replace(is_local=p_loc, match_count=p_mc, miss_count=p_miss),
         p_keep | ~pts_alive)
@@ -666,6 +696,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     q_loc, q_mc, q_miss, q_keep = maps.lifecycle_update(
         new_points2d.is_local, new_points2d.match_count, new_points2d.miss_count,
         q_final, promote_pts, cfg.mapping.point_unmatched_count_to_loose)
+    q_evicted = p2_alive & new_points2d.is_local & ~q_keep
+    q_evict_pos = idp.to_world(new_points2d.state)
     new_points2d = maps.remove_features(
         new_points2d._replace(is_local=q_loc, match_count=q_mc, miss_count=q_miss),
         q_keep | ~p2_alive)
@@ -676,6 +708,9 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         cfg.mapping.plane_unmatched_count_to_loose)
     # staged planes drop after 2 misses (map_primitive.cpp:286-288)
     k_staged_drop = ~new_planes.is_local & (k_miss >= cfg.mapping.plane_staged_drop_misses)
+    k_evicted = maps.alive(pl) & new_planes.is_local & ~k_keep
+    k_evict = (new_planes.params, new_planes.poly_verts, new_planes.poly_count,
+               new_planes.basis_center, new_planes.basis_u, new_planes.basis_v)
     new_planes = maps.remove_features(
         new_planes._replace(is_local=k_loc, match_count=k_mc, miss_count=k_miss),
         (k_keep & ~k_staged_drop) | ~maps.alive(pl))
@@ -843,6 +878,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
             new_lines.is_local, new_lines.match_count, new_lines.miss_count,
             l_final, cfg.mapping.point_staged_age_confidence,
             cfg.mapping.point_unmatched_count_to_loose)
+        l_evicted = maps.alive(li) & new_lines.is_local & ~l_keepm
+        l_evict_eps = new_lines.endpoints
         new_lines = maps.remove_features(
             new_lines._replace(is_local=l_loc, match_count=l_mc,
                                miss_count=l_miss),
@@ -871,6 +908,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         next_id = next_id + jnp.sum(okl.astype(jnp.int32))
     else:
         new_lines = state.lines
+        l_evicted = jnp.zeros((ml_cap,), bool)
+        l_evict_eps = state.lines.endpoints
 
     # --- next-frame tracking set (get_tracked_features, local_map.hpp:46-71) ----
     proj_next, proj_next_ok = pinhole.world_to_screen(new_points.pos, new_w2c, cam)
@@ -930,5 +969,20 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         point_obs_uv=p_obs_uv,
         point_matched=p_final & pts_alive,
         point_fid=pts.fid,
+        n_evicted=(jnp.sum(p_evicted) + jnp.sum(q_evicted)
+                   + jnp.sum(k_evicted) + jnp.sum(l_evicted)),
+        point_evicted=p_evicted,
+        point_evict_pos=p_evict_pos,
+        point2d_evicted=q_evicted,
+        point2d_evict_pos=q_evict_pos,
+        plane_evicted=k_evicted,
+        plane_evict_params=k_evict[0],
+        plane_evict_verts=k_evict[1],
+        plane_evict_count=k_evict[2],
+        plane_evict_center=k_evict[3],
+        plane_evict_u=k_evict[4],
+        plane_evict_v=k_evict[5],
+        line_evicted=l_evicted,
+        line_evict_eps=l_evict_eps,
     )
     return new_state, output

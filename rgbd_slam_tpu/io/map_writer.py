@@ -129,6 +129,86 @@ class OBJWriter(MapWriter):
         self._normal_index += 1
 
 
+def append_dying_features(writer: MapWriter, out) -> int:
+    """Append one frame's dying LOCAL features to an open writer (streaming
+    parity with feature_map.hpp:748-758: every lost local feature reaches the
+    map file at death, so the final export is the union of everything ever
+    mapped).  ``out`` is an :class:`engine.StepOutput`; returns the number of
+    features written."""
+    n = 0
+    pm = np.asarray(out.point_evicted)
+    if pm.any():
+        for p in np.asarray(out.point_evict_pos)[pm]:
+            writer.add_point(p)
+            n += 1
+    qm = np.asarray(out.point2d_evicted)
+    if qm.any():
+        for p in np.asarray(out.point2d_evict_pos)[qm]:
+            writer.add_point(p)
+            n += 1
+    km = np.asarray(out.plane_evicted)
+    if km.any():
+        verts = np.asarray(out.plane_evict_verts)
+        counts = np.asarray(out.plane_evict_count)
+        centers = np.asarray(out.plane_evict_center)
+        us = np.asarray(out.plane_evict_u)
+        vs = np.asarray(out.plane_evict_v)
+        params = np.asarray(out.plane_evict_params)
+        for i in np.nonzero(km)[0]:
+            cnt = int(counts[i])
+            if cnt < 3:
+                continue
+            v2 = verts[i][:cnt]
+            v3 = centers[i] + v2[:, 0:1] * us[i] + v2[:, 1:2] * vs[i]
+            writer.add_polygon(v3, params[i][:3])
+            n += 1
+    lm = np.asarray(out.line_evicted)
+    if lm.any():
+        eps = np.asarray(out.line_evict_eps)
+        for i in np.nonzero(lm)[0]:
+            writer.add_line(np.stack([eps[i, :3], eps[i, 3:]]))
+            n += 1
+    return n
+
+
+def append_alive_features(writer: MapWriter, state, only_local: bool = True):
+    """Append the currently-alive map features to an open writer — the shutdown
+    half of the streaming export (Feature_Map::destroy writes the surviving
+    LOCAL map, feature_map.hpp:288-298)."""
+    from ..geometry import inverse_depth as idp
+    from ..mapping import maps as maps_mod
+
+    def sel(m):
+        alive = maps_mod.alive(m)
+        return np.asarray(alive & m.is_local if only_local else alive)
+
+    pts = state.points
+    for p in np.asarray(pts.pos)[sel(pts)]:
+        writer.add_point(p)
+    p2 = state.points2d
+    alive2 = sel(p2)
+    if alive2.any():
+        cart = np.asarray(idp.to_world(p2.state))
+        for p in cart[alive2]:
+            writer.add_point(p)
+    ln = getattr(state, "lines", None)
+    if ln is not None:
+        eps = np.asarray(ln.endpoints)
+        for i in np.nonzero(sel(ln))[0]:
+            writer.add_line(np.stack([eps[i, :3], eps[i, 3:]]))
+    pl = state.planes
+    for i in np.nonzero(sel(pl))[0]:
+        cnt = int(pl.poly_count[i])
+        if cnt < 3:
+            continue
+        verts2 = np.asarray(pl.poly_verts[i][:cnt])
+        center = np.asarray(pl.basis_center[i])
+        u = np.asarray(pl.basis_u[i])
+        v = np.asarray(pl.basis_v[i])
+        verts3 = center + verts2[:, 0:1] * u + verts2[:, 1:2] * v
+        writer.add_polygon(verts3, np.asarray(pl.params[i][:3]))
+
+
 def export_slam_map(state, path: str):
     """Write the current map state (alive features) to an OBJ file, mirroring the
     shutdown export (local_map.hpp:35-40)."""

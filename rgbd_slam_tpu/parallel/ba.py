@@ -86,13 +86,102 @@ def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics
                     in_axes=(0, 0, 0, 0))(landmarks, obs_kf, obs_uv, obs_mask)
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-process (multi-host pod / DCN) initialization, flag-gated.
+
+    On a real pod each host runs the same program; calling this before any jax
+    op joins the processes into one global device mesh, after which
+    :func:`make_sharded_ba` over a mesh of ``jax.devices()`` spans hosts — the
+    psum/psum_scatter collectives ride ICI within a slice and DCN across
+    slices with no code change (SURVEY.md §5 distributed-backend plan).
+    Parameters default to the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID environment variables; returns True when distributed mode
+    was actually initialized (single-process callers get False, no-op)."""
+    import os
+
+    coordinator_address = coordinator_address \
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num_processes = num_processes \
+        or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if not coordinator_address or num_processes <= 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def _reduced_solve_pcg(s_rows, rhs, axis_name: str, cg_iterations: int):
+    """Distributed solve of the reduced camera system by Jacobi-preconditioned
+    conjugate gradients: the [6K, 6K] matrix lives as ROW BLOCKS sharded over
+    ``axis_name`` (no device holds the dense matrix), the iterate is
+    replicated, and each matvec is a local [R_loc, N] x [N] product followed by
+    an all_gather — the standard large-scale BA reduced-system scheme
+    (Schur + PCG, "Bundle Adjustment in the Large"), mapped to ICI
+    collectives.  Solves S x = rhs; returns x [N] replicated."""
+    n = rhs.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    r_loc = s_rows.shape[0]
+    row0 = idx * r_loc
+
+    # Jacobi preconditioner from the local diagonal entries
+    diag_loc = s_rows[jnp.arange(r_loc), row0 + jnp.arange(r_loc)]
+    diag = jax.lax.all_gather(diag_loc, axis_name, tiled=True)      # [N]
+    minv = 1.0 / jnp.maximum(diag, 1e-12)
+
+    def matvec(x):
+        y_loc = s_rows @ x                                          # [R_loc]
+        return jax.lax.all_gather(y_loc, axis_name, tiled=True)     # [N]
+
+    # the all_gather outputs are device-varying under shard_map's vma typing;
+    # cast the replicated carry inits to match so the scan carry types agree
+    vary = lambda a: jax.lax.pcast(a, (axis_name,), to="varying")  # noqa: E731
+    x0 = vary(jnp.zeros_like(rhs))
+    r0 = vary(rhs)
+    z0 = minv * r0
+    p0 = z0
+    rz0 = jnp.dot(r0, z0)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        q = matvec(p)
+        alpha = rz / jnp.maximum(jnp.dot(p, q), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = minv * r
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None,
+                                   length=cg_iterations)
+    return x
+
+
 def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
                   cam: CameraIntrinsics, n_keyframes: int, axis_name=None,
-                  pose_anchor=None, lm_anchor=None):
+                  pose_anchor=None, lm_anchor=None,
+                  reduced_solver: str = "dense", cg_iterations: int = 0):
     """One Schur-complement GN step.  When ``axis_name`` is set, landmark-axis
     partial sums are psum-reduced across the mesh (the distributed path).
     ``pose_anchor``/``lm_anchor`` add prior residuals pulling toward the
-    odometry poses and KF-fused landmark positions (see prior-weight note)."""
+    odometry poses and KF-fused landmark positions (see prior-weight note).
+
+    ``reduced_solver`` picks how the [6K, 6K] reduced camera system is solved
+    in the distributed path: "dense" replicates a Cholesky per device (optimal
+    for live windows, K <= 16), "pcg" shards the matrix into row blocks via
+    psum_scatter and runs distributed preconditioned CG — the system is then
+    partitioned over BOTH axes of SURVEY §2.10 (landmark blocks for
+    elimination, keyframe row blocks for the reduced solve) with no device
+    ever holding the dense [6K, 6K].  A literal 2-D (kf x lm) device mesh was
+    rejected by design: it would replicate the per-observation work (the
+    dominant cost) across the kf axis; phase-wise resharding keeps every
+    device busy in both phases."""
     k = n_keyframes
     dt = poses.dtype
     r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam)
@@ -134,11 +223,18 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
         preferred_element_type=dt)                      # [6K, 6K]
     bp_corr = jnp.einsum("lkia,la->ki", u, bl)          # [K, 6]
 
+    use_pcg = axis_name is not None and reduced_solver == "pcg"
     if axis_name is not None:
         hpp = jax.lax.psum(hpp, axis_name)
         bp = jax.lax.psum(bp, axis_name)
-        s_corr = jax.lax.psum(s_corr, axis_name)
         bp_corr = jax.lax.psum(bp_corr, axis_name)
+        if use_pcg:
+            # row-block shard the reduced system while reducing it: no device
+            # ever materializes the summed dense [6K, 6K]
+            s_rows = jax.lax.psum_scatter(s_corr, axis_name,
+                                          scatter_dimension=0, tiled=True)
+        else:
+            s_corr = jax.lax.psum(s_corr, axis_name)
 
     if pose_anchor is not None:
         # odometry prior, added once globally (after the psum): diagonal
@@ -147,21 +243,36 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
         hpp = hpp + jnp.diag(wdiag)[None, :, :]
         bp = bp + wdiag[None, :] * (poses - pose_anchor)
 
+    n = k * 6
     big_hpp = jnp.zeros((k, 6, k, 6), dt)
     big_hpp = big_hpp.at[jnp.arange(k), :, jnp.arange(k), :].set(hpp)
-    s_mat = big_hpp.reshape(k * 6, k * 6) - s_corr
-    rhs = (bp - bp_corr).reshape(k * 6)
-
-    # gauge fix: freeze keyframe 0 (replace its block rows/cols with identity)
-    fix = jnp.arange(k * 6) < 6
-    s_mat = jnp.where(fix[:, None] | fix[None, :],
-                      jnp.eye(k * 6, dtype=dt), s_mat)
+    rhs = (bp - bp_corr).reshape(n)
+    fix = jnp.arange(n) < 6  # gauge: freeze keyframe 0
     rhs = jnp.where(fix, 0.0, rhs)
-    s_mat = s_mat + DAMPING * jnp.eye(k * 6, dtype=dt)
 
-    # SPD after damping + gauge fix: Cholesky beats the default pivoted-LU path
-    chol = jax.scipy.linalg.cho_factor(s_mat)
-    delta_p = jax.scipy.linalg.cho_solve(chol, -rhs).reshape(k, 6)
+    if use_pcg:
+        r_loc = s_rows.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        rr = idx * r_loc + jnp.arange(r_loc)           # global row ids
+        hpp_rows = jax.lax.dynamic_slice(
+            big_hpp.reshape(n, n), (idx * r_loc, 0), (r_loc, n))
+        s_rows = hpp_rows - s_rows
+        # gauge fix + damping on the local row block
+        eye_rows = jax.nn.one_hot(rr, n, dtype=dt)
+        s_rows = jnp.where((rr < 6)[:, None] | fix[None, :], eye_rows, s_rows)
+        s_rows = s_rows + DAMPING * eye_rows
+        iters = cg_iterations if cg_iterations > 0 else n
+        delta_p = _reduced_solve_pcg(s_rows, -rhs, axis_name,
+                                     iters).reshape(k, 6)
+    else:
+        s_mat = big_hpp.reshape(n, n) - s_corr
+        s_mat = jnp.where(fix[:, None] | fix[None, :],
+                          jnp.eye(n, dtype=dt), s_mat)
+        s_mat = s_mat + DAMPING * jnp.eye(n, dtype=dt)
+        # SPD after damping + gauge fix: Cholesky beats the default
+        # pivoted-LU path
+        chol = jax.scipy.linalg.cho_factor(s_mat)
+        delta_p = jax.scipy.linalg.cho_solve(chol, -rhs).reshape(k, 6)
 
     # landmark back-substitution (local per shard): dl = -Hll^-1 (bl + W^T dp)
     dp_per_obs = jnp.take(delta_p, obs_kf, axis=0)      # [L, C, 6]
@@ -201,28 +312,52 @@ def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
 
 def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
                     iterations: int = 8, axis: str = "lm",
-                    anchored: bool = False):
+                    anchored: bool = False,
+                    reduced_solver: str = "dense", cg_iterations: int = 0):
     """Build the distributed BA step: landmarks + observations sharded over the
     ``axis`` mesh dimension, reduced camera system psum-reduced over ICI.
 
+    ``reduced_solver="pcg"`` additionally shards the [6K, 6K] reduced camera
+    system into keyframe row blocks (psum_scatter) and solves it with
+    distributed Jacobi-preconditioned CG — both SURVEY §2.10 partition axes
+    (landmark blocks AND keyframe blocks) without replicating the dense solve;
+    ``cg_iterations`` 0 means 6K iterations (exact in exact arithmetic).
+
     Returns a jitted fn(poses, landmarks, obs_kf, obs_uv, obs_mask)
     -> (poses, landmarks, costs)."""
+    if reduced_solver == "pcg":
+        nd = mesh.shape[axis]
+        assert (6 * n_keyframes) % nd == 0, \
+            f"pcg reduced solve needs 6*K ({6 * n_keyframes}) divisible by " \
+            f"the mesh axis size ({nd})"
     shard_map = jax.shard_map
 
     def stepfn(poses, landmarks, obs_kf, obs_uv, obs_mask):
         pose_anchor = poses if anchored else None
         lm_anchor = landmarks if anchored else None
+        if reduced_solver == "pcg":
+            # the PCG solve goes through all_gathers, so its pose updates are
+            # device-varying under vma typing (identical by construction —
+            # deterministic collectives); match the scan carry type up front
+            poses = jax.lax.pcast(poses, (axis,), to="varying")
 
         def body(carry, _):
             p, l = carry
             p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam,
                                          n_keyframes, axis_name=axis,
                                          pose_anchor=pose_anchor,
-                                         lm_anchor=lm_anchor)
+                                         lm_anchor=lm_anchor,
+                                         reduced_solver=reduced_solver,
+                                         cg_iterations=cg_iterations)
             return (p2, l2), cost
 
         (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
                                      length=iterations)
+        if reduced_solver == "pcg":
+            # replicated-identical copies back to an invariant output (exact
+            # for power-of-two meshes; a [K, 6] pmean is negligible)
+            p = jax.lax.pmean(p, axis)
+            costs = jax.lax.pmean(costs, axis)
         return p, l, costs
 
     sharded = shard_map(

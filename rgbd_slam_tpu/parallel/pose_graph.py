@@ -13,7 +13,14 @@ relative estimates propagate into globally consistent absolute poses.
 TPU-first design: the graph is packed into STATIC ``(max_nodes, max_edges)``
 arrays with validity masks (one compiled solver for every solve() call), the
 Gauss-Newton iteration is a ``lax.scan``, and every edge residual/Jacobian is
-built by ``vmap`` + ``jax.jacfwd`` — no per-edge device loops.  Nodes use the
+built by ``vmap`` + ``jax.jacfwd`` — no per-edge device loops.
+
+Scope (stated, not silent): this is a bounded SLIDING-WINDOW graph, not a
+global one — the dense GN solve is O(max_nodes^3) with no sparsity
+exploitation, and overflow drops the oldest node (counted in
+``dropped_nodes``).  At the default 64 nodes the dense [384, 384] solve is
+faster on TPU than any sparse scheme; a whole-trajectory layer would need the
+chain-sparse Cholesky or the PCG row-block pattern of ``parallel/ba.py``.  Nodes use the
 same 6-coefficient pose parameterization (position + stereographic quaternion,
 geometry/se3.py) as the pose optimizer and the BA backend.
 
@@ -184,7 +191,10 @@ class PoseGraph:
     frame_ids: list = field(default_factory=list)    # node -> source frame id
     quats: list = field(default_factory=list)        # node -> est quat (np [4])
     positions: list = field(default_factory=list)    # node -> est pos (np [3])
-    edges: dict = field(default_factory=dict)        # (fid_i, fid_j) -> (meas6, w)
+    # (fid_i, fid_j, kind) -> (meas6, w): odometry and BA measurements of the
+    # same pair COEXIST as independent constraints with their own weights (an
+    # accepted-but-poor BA edge stays counterbalanced by odometry)
+    edges: dict = field(default_factory=dict)
     dropped_nodes: int = 0
     dropped_edges: int = 0
 
@@ -199,7 +209,7 @@ class PoseGraph:
         if self.frame_ids:
             q_rel, p_rel = np_relative(self._last_raw[0], self._last_raw[1],
                                        quat, position)
-            self.edges[(self.frame_ids[-1], int(frame_id))] = \
+            self.edges[(self.frame_ids[-1], int(frame_id), "odom")] = \
                 (_np_rel_coeffs(q_rel, p_rel), self.odometry_weight)
             # node estimate chains from the previous node's (solved) estimate
             q_est, p_est = np_compose(self.quats[-1], self.positions[-1],
@@ -215,7 +225,7 @@ class PoseGraph:
             self.quats.pop(0)
             self.positions.pop(0)
             self.edges = {k: v for k, v in self.edges.items()
-                          if dropped_fid not in k}
+                          if dropped_fid not in k[:2]}
             self.dropped_nodes += 1
 
     def add_ba_window(self, frame_ids, refined):
@@ -234,8 +244,8 @@ class PoseGraph:
                                        np.asarray(pa, np.float64),
                                        np.asarray(qb, np.float64),
                                        np.asarray(pb, np.float64))
-            self.edges[(fa, fb)] = (_np_rel_coeffs(q_rel, p_rel),
-                                    self.ba_weight)
+            self.edges[(fa, fb, "ba")] = (_np_rel_coeffs(q_rel, p_rel),
+                                          self.ba_weight)
 
     def solve(self, iterations: int = 10):
         """Solve the graph on device; returns (frame_ids list, quats [n, 4],
@@ -247,7 +257,7 @@ class PoseGraph:
             return None
         fid_to_node = {f: i for i, f in enumerate(self.frame_ids)}
         packed = [(fid_to_node[a], fid_to_node[b], m, w)
-                  for (a, b), (m, w) in self.edges.items()
+                  for (a, b, _), (m, w) in self.edges.items()
                   if a in fid_to_node and b in fid_to_node]
         if len(packed) > self.max_edges:
             self.dropped_edges += len(packed) - self.max_edges

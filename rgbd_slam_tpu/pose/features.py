@@ -17,15 +17,19 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-# per-type optimization scores (reference: map_point.cpp:28-31, map_point2d.cpp:27-30,
-# map_primitive.cpp:27-30 with parameters.hpp:40-44)
-POINT_SCORE = 1.0 / 5.0
-POINT2D_SCORE = 1.0 / 5.0
-PLANE_SCORE = 1.0 / 3.0
+# per-type optimization scores = 1 / minimum-features-for-optimization
+# (reference: map_point.cpp:28-31, map_point2d.cpp:27-30, map_primitive.cpp:27-30
+# with parameters.hpp:40-44) — derived from RansacConfig so the min-count knobs
+# stay live.
+from ..config import RansacConfig as _RANSAC_DEFAULTS
+
+POINT_SCORE = 1.0 / _RANSAC_DEFAULTS().min_point_count
+POINT2D_SCORE = 1.0 / _RANSAC_DEFAULTS().min_point2d_count
+PLANE_SCORE = 1.0 / _RANSAC_DEFAULTS().min_plane_count
 # lines never reach the reference's optimizer (USE_LINE_DETECTION undefined,
 # rgbd_slam.cpp:304-313); score follows the point convention (5 lines constrain a
 # pose) per the reference's planned point/line residual design (README.md:134-136)
-LINE_SCORE = 1.0 / 5.0
+LINE_SCORE = 1.0 / _RANSAC_DEFAULTS().min_point_count
 
 # per-type residual weights alpha (reference: map_point.cpp:46, map_point2d.cpp:47,
 # map_primitive.cpp:64)

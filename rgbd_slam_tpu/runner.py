@@ -142,7 +142,8 @@ def _apply_graph_correction(traj: Trajectory, node_fids, new_quats, new_pos):
 
 
 def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
-               with_planes: bool = True, seed: int = 0,
+               with_planes: bool = True, with_lines: bool = False,
+               seed: int = 0,
                state: engine.SlamState | None = None,
                on_frame=None,
                ba_every: int | None = None, ba_window: int = 8,
@@ -150,7 +151,7 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                kf_min_trans_mm: float = 20.0, kf_min_rot_deg: float = 1.0,
                with_pose_graph: bool = True,
                ba_update_map: bool = True, ba_correct_traj: bool = True,
-               camera_setup=None):
+               camera_setup=None, export_map: str | None = None):
     """Run the engine over an iterable of (gray, depth[, timestamp]) frames.
 
     When ``ba_every`` is set, a sliding :class:`KeyframeWindow` collects
@@ -171,11 +172,22 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
     keyframe chain after each accepted refinement and retroactively corrects
     the whole trajectory (inter-window consistency, SURVEY.md §5).
 
+    When ``export_map`` is set, an OBJ map file is STREAMED during the run:
+    every local feature is appended at death (engine eviction records →
+    :func:`io.map_writer.append_dying_features`) and the surviving local map
+    is appended at the end — reference semantics (feature_map.hpp:748-758,
+    :288-298), so features lost mid-run still reach the file.
+
     Returns (final_state, Trajectory, RunStats)."""
     if state is None:
         state = engine.init_state(cam, cfg, seed=seed)
     traj = Trajectory()
     stats = RunStats()
+
+    map_writer = None
+    if export_map is not None:
+        from .io.map_writer import OBJWriter, append_dying_features
+        map_writer = OBJWriter(export_map)
 
     # Depth rectification (reference: rgbd_slam.cpp:99-121 rectifies in its L1
     # API via depth_map_transformation.cpp:23-87).  Applied only for a
@@ -214,7 +226,8 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
 
         t0 = time.time()
         state, out = engine.step(state, gray, depth, cam, cfg,
-                                 with_planes=with_planes)
+                                 with_planes=with_planes,
+                                 with_lines=with_lines)
         out = jax.block_until_ready(out)
         dt = time.time() - t0
 
@@ -259,7 +272,13 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                         if ba_update_map:
                             window.apply_refinement(refined, device_lm)
                             state = _scatter_ba_landmarks(state, device_lm)
-                        if ba_correct_traj:
+                        if ba_correct_traj and graph is None:
+                            # single-writer discipline: when the pose graph is
+                            # active, its retroactive correction below is the
+                            # only trajectory writer — overwriting keyframes
+                            # here first would desync in-between frames from
+                            # their keyframe-relative geometry across repeated
+                            # solves
                             for kf, fi in enumerate(window.frame_ids):
                                 q, p = refined[kf]
                                 traj.positions[fi] = np.asarray(p, np.float64)
@@ -275,8 +294,16 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                     stats.ba_dropped_landmarks = window.dropped_landmarks
                     stats.ba_dropped_obs = window.dropped_obs
 
+        if map_writer is not None and int(out.n_evicted) > 0:
+            append_dying_features(map_writer, out)
+
         if on_frame is not None:
             on_frame(i, state, out, dt)
+
+    if map_writer is not None:
+        from .io.map_writer import append_alive_features
+        append_alive_features(map_writer, state, only_local=True)
+        map_writer.close()
 
     return state, traj, stats
 

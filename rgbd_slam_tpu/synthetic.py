@@ -185,6 +185,125 @@ class RoomScene:
         return gray, depth
 
 
+class HardRoomScene(RoomScene):
+    """RoomScene hardened with real-sensor pathologies (VERDICT r3 weak #4):
+
+    * **depth holes** — per-frame random elliptical dropout blobs (depth=0),
+      the failure mode of IR-absorbing / specular surfaces;
+    * **noise bursts** — every ``burst_every``-th frame multiplies the Kinect
+      depth-noise sigma by ``burst_scale`` (interference / exposure flicker);
+    * **occluding foreground object** — a textured sphere hanging in front of
+      the wall: rays hitting it see its surface instead, its rim creates
+      depth discontinuities, and points detected on it occlude map features;
+    * **texture-poor stretch** — a band of the front wall with contrast
+      crushed to ~6%, starving the corner detector as the camera pans
+      across it.
+    """
+
+    def __init__(self, cam: CameraIntrinsics, hole_count: int = 6,
+                 hole_radius_px: float = 28.0, burst_every: int = 17,
+                 burst_scale: float = 4.0,
+                 occluder_center=(2200.0, 300.0, -100.0),
+                 occluder_radius: float = 260.0,
+                 weak_band_y=(-900.0, -200.0), **kw):
+        kw.setdefault("depth_noise", None)
+        super().__init__(cam, **kw)
+        self.hole_count = hole_count
+        self.hole_radius_px = hole_radius_px
+        self.burst_every = burst_every
+        self.burst_scale = burst_scale
+        self.occ_c = np.asarray(occluder_center, np.float64)
+        self.occ_r = occluder_radius
+        self.weak_y = weak_band_y
+        self._frame = 0
+
+    def render(self, quat, position):
+        cam = self.cam
+        c2w = _c2w_numpy(quat, position)
+        origin, rot = c2w[:3, 3], c2w[:3, :3]
+        us, vs = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
+        d = np.stack([(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy,
+                      np.ones_like(us, dtype=np.float64)], -1)
+        dw = d @ rot.T
+
+        def hit(axis, value):
+            dirc = dw[..., axis]
+            t = (value - origin[axis]) / np.where(np.abs(dirc) < 1e-12,
+                                                  1e-12, dirc)
+            return np.where((np.abs(dirc) < 1e-12) | (t <= 100.0), np.inf, t)
+
+        ts = np.stack([hit(0, self.front_x), hit(1, self.side_y),
+                       hit(2, self.floor_z)])
+        best = np.argmin(ts, axis=0)
+        t = np.take_along_axis(ts, best[None], axis=0)[0]
+
+        # occluding sphere: |o + s d - c|^2 = r^2, nearest positive root
+        oc = origin - self.occ_c
+        b = 2.0 * np.sum(dw * oc, axis=-1)
+        cc = float(oc @ oc) - self.occ_r ** 2
+        disc = b * b - 4.0 * cc
+        s = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0,
+                     np.inf)
+        s = np.where(s > 100.0, s, np.inf)
+        occ = s < t
+        t = np.where(occ, s, t)
+
+        w = origin + t[..., None] * dw
+        gray = np.where(
+            best == 0, self._tex(0, w[..., 1], w[..., 2]),
+            np.where(best == 1, self._tex(1, w[..., 0], w[..., 2]),
+                     self._tex(2, w[..., 0], w[..., 1]))).astype(np.float32)
+        # texture-poor band on the front wall
+        weak = ((best == 0) & ~occ
+                & (w[..., 1] > self.weak_y[0]) & (w[..., 1] < self.weak_y[1]))
+        gray = np.where(weak, 128.0 + (gray - 128.0) * 0.06, gray)
+        # sphere surface: banded texture by latitude (keeps a few trackable
+        # edges so the occluder also contributes features)
+        lat = np.arccos(np.clip((w[..., 2] - self.occ_c[2])
+                                / max(self.occ_r, 1e-6), -1.0, 1.0))
+        gray = np.where(occ, 90.0 + 70.0 * np.cos(10.0 * lat), gray)
+
+        depth = np.where(np.isfinite(t), t, 0.0).astype(np.float32)
+        # depth-noise model + periodic burst frames
+        noise = self.depth_noise
+        sigma_mult = (self.burst_scale
+                      if (self.burst_every
+                          and self._frame % self.burst_every == self.burst_every - 1)
+                      else 1.0)
+        if noise is not None:
+            q = (noise.quadratic * depth * depth + noise.linear * depth
+                 + noise.constant)
+            sigma = np.maximum(q, noise.floor_mm) * sigma_mult
+            depth = np.where(
+                depth > 0,
+                depth + sigma * self._noise_rng.standard_normal(depth.shape)
+                .astype(np.float32), 0.0).astype(np.float32)
+        # depth holes: random elliptical dropouts
+        for _ in range(self.hole_count):
+            hx = self._noise_rng.uniform(0, cam.width)
+            hy = self._noise_rng.uniform(0, cam.height)
+            rx = self.hole_radius_px * self._noise_rng.uniform(0.4, 1.6)
+            ry = self.hole_radius_px * self._noise_rng.uniform(0.4, 1.6)
+            hole = (((us - hx) / rx) ** 2 + ((vs - hy) / ry) ** 2) < 1.0
+            depth = np.where(hole, 0.0, depth)
+        self._frame += 1
+        return gray.astype(np.float32), depth
+
+
+def rotation_trajectory(n_frames: int, yaw_rate_d: float = 0.6,
+                        pitch_rate_d: float = 0.15, speed_mm: float = 0.8):
+    """Rotation-dominant ground truth (fr1_rpy analogue): fast yaw + pitch with
+    near-zero translation — image motion is dominated by rotation, the regime
+    where LK search windows and match gates are stressed hardest."""
+    poses = []
+    for i in range(n_frames):
+        quat = _quat_from_euler(np.radians(yaw_rate_d) * i,
+                                np.radians(pitch_rate_d) * i, 0.0)
+        pos = np.array([0.3 * i, speed_mm * i, 0.0], np.float32)
+        poses.append((quat, pos))
+    return poses
+
+
 def _quat_from_euler(yaw, pitch, roll):
     cy, sy = np.cos(yaw / 2), np.sin(yaw / 2)
     cp, sp = np.cos(pitch / 2), np.sin(pitch / 2)

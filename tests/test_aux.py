@@ -9,6 +9,7 @@ from rgbd_slam_tpu.config import CameraIntrinsics, EngineConfig, MappingConfig, 
 from rgbd_slam_tpu.io import checkpoint
 from rgbd_slam_tpu.profiling import StageTimer
 from rgbd_slam_tpu.synthetic import WallScene, lateral_trajectory
+import pytest
 
 CAM = CameraIntrinsics(width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0)
 CFG = SlamConfig(
@@ -24,6 +25,7 @@ def short_sequence(n=3):
     return [scene.render(q, p) for q, p in lateral_trajectory(n)]
 
 
+@pytest.mark.slow
 class TestCheckpoint:
     def test_round_trip_bit_exact(self, tmp_path):
         frames = short_sequence(2)
@@ -66,6 +68,7 @@ class TestCheckpoint:
             pass
 
 
+@pytest.mark.slow
 class TestDeterminism:
     def test_same_seed_same_trajectory(self):
         frames = short_sequence(3)
@@ -79,6 +82,7 @@ class TestDeterminism:
         np.testing.assert_array_equal(outs[0], outs[1])
 
 
+@pytest.mark.slow
 class TestRunner:
     def test_run_frames_produces_trajectory(self):
         frames = short_sequence(3)
@@ -109,6 +113,7 @@ class TestStageTimer:
         assert "15.00 ms" in report  # mean of extract
 
 
+@pytest.mark.slow
 class TestDebugImage:
     def test_renders_overlays(self):
         from rgbd_slam_tpu.io.debug_image import render_debug_image
@@ -138,18 +143,36 @@ class TestConfigParity:
     """Config fields must be live and derived from the reference's own formulas."""
 
     def test_no_dead_detection_fields(self):
-        """Every DetectionConfig field is consumed somewhere in the package (the
-        round-1 optical_flow_max_error_px regression: a field nothing read)."""
+        """Every config field of every config class is consumed somewhere in the
+        package (the round-1 optical_flow_max_error_px regression: a field
+        nothing read; the round-3 fast_threshold regression: engine constants
+        that stopped reading config).  config.py itself counts as a consumer
+        (derived properties), but the field's own definition line does not."""
         import dataclasses
         import pathlib
+        import re
 
-        from rgbd_slam_tpu.config import DetectionConfig
+        from rgbd_slam_tpu import config as config_mod
 
         pkg = pathlib.Path(__file__).resolve().parents[1] / "rgbd_slam_tpu"
-        src = "\n".join(p.read_text() for p in pkg.rglob("*.py")
-                        if p.name != "config.py")
-        for f in dataclasses.fields(DetectionConfig):
-            assert f.name in src, f"dead config field: DetectionConfig.{f.name}"
+        parts = []
+        for p in pkg.rglob("*.py"):
+            text = p.read_text()
+            if p.name == "config.py":
+                # strip dataclass field-definition lines ("name: type = ...")
+                # so a field does not count as its own consumer
+                text = "\n".join(
+                    ln for ln in text.splitlines()
+                    if not re.match(r"\s*\w+\s*:\s*\w+(\s*=|\s*$)", ln))
+            parts.append(text)
+        src = "\n".join(parts)
+        classes = [config_mod.DepthNoiseModel, config_mod.RansacConfig,
+                   config_mod.DetectionConfig, config_mod.MatchingConfig,
+                   config_mod.MappingConfig, config_mod.EngineConfig]
+        for cls in classes:
+            for f in dataclasses.fields(cls):
+                assert f.name in src, \
+                    f"dead config field: {cls.__name__}.{f.name}"
 
     def test_fast_thresholds_follow_reference_curve(self):
         """Defaults equal the reference's empirical curve 41.2378*0.99945^points at
@@ -182,3 +205,37 @@ class TestConfigParity:
             low_threshold=float(det.fast_threshold), max_points=100)
         assert int(valid_2tier.sum()) > int(valid_hi_only.sum())
         assert int(valid_2tier.sum()) > 20
+
+    def test_yaml_rotation_offset_parity(self, tmp_path):
+        """Non-axis-aligned camera-2 rotation offsets must reproduce the
+        reference's quirky euler composition: parameters.cpp:44-48 passes
+        (rotX, rotY, rotZ) into EulerAngles(yaw, pitch, roll) (types.hpp:80)
+        and angle_utils.cpp:6-12 composes AngleAxis(roll,X) * AngleAxis(pitch,Y)
+        * AngleAxis(yaw,Z), so the extrinsic rotation is Rx(rotZ)*Ry(rotY)*Rz(rotX)."""
+        from rgbd_slam_tpu.config import load_camera_yaml
+
+        rx, ry, rz = 0.05, -0.02, 0.11
+        yaml = tmp_path / "cam.yaml"
+        yaml.write_text(
+            "camera_1_focal_x: 520.0\n"
+            "camera_2_rotation_offset_x: {}\n"
+            "camera_2_rotation_offset_y: {}\n"
+            "camera_2_rotation_offset_z: {}\n"
+            "camera_2_translation_offset_x: 25.0\n".format(rx, ry, rz))
+        setup = load_camera_yaml(str(yaml))
+        got = np.array(setup.depth_to_rgb)[:3, :3]
+
+        def rot(axis, a):
+            c, s = np.cos(a), np.sin(a)
+            m = np.eye(3)
+            i, j = [(1, 2), (0, 2), (0, 1)][axis]
+            m[i, i] = c
+            m[j, j] = c
+            m[i, j] = -s if axis != 1 else s
+            m[j, i] = s if axis != 1 else -s
+            return m
+
+        want = rot(0, rz) @ rot(1, ry) @ rot(2, rx)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        assert np.array(setup.depth_to_rgb)[0, 3] == 25.0
+        assert setup.rgb.fx == 520.0

@@ -15,7 +15,7 @@ CAM = CameraIntrinsics(width=640, height=480, fx=520.0, fy=520.0, cx=320.0, cy=2
 K, L, C = 6, 128, 4
 
 
-def make_window(rng, noise_px=0.0):
+def make_window(rng, noise_px=0.0, K=K, L=L, C=C):
     """Synthetic keyframe window: camera sliding laterally, landmarks on a slab."""
     gt_poses = []
     for i in range(K):
@@ -107,6 +107,30 @@ class TestShardedBA:
         np.testing.assert_allclose(np.asarray(sh_lm), np.asarray(ref_lm),
                                    atol=1.0)
 
+    def test_pcg_reduced_solve_matches_dense(self, rng):
+        """The row-block-sharded PCG reduced solve (no device holds the dense
+        [6K, 6K]) must reproduce the replicated-Cholesky path: both SURVEY
+        §2.10 partition axes — landmark blocks for elimination, keyframe row
+        blocks for the reduced system — on one 8-device mesh."""
+        k8 = 8  # 6*K must divide the mesh axis (48 / 8)
+        gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng, K=k8, L=128, C=4)
+        poses0, lm0 = perturb(rng, gt_poses, gt_lm)
+
+        ref_poses, ref_lm, ref_costs = ba.ba_solve(
+            poses0, lm0, obs_kf, uv, mask, CAM, iterations=5)
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("lm",))
+        fn = ba.make_sharded_ba(mesh, CAM, n_keyframes=k8, iterations=5,
+                                reduced_solver="pcg")
+        sh_poses, sh_lm, sh_costs = fn(poses0, lm0, obs_kf, uv, mask)
+
+        assert np.isfinite(np.asarray(sh_poses)).all()
+        np.testing.assert_allclose(np.asarray(sh_costs), np.asarray(ref_costs),
+                                   rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(sh_poses), np.asarray(ref_poses),
+                                   atol=5e-2)
+
     def test_ba_iters_per_second_positive(self, rng):
         import time
 
@@ -122,6 +146,7 @@ class TestShardedBA:
         assert iters_per_s > 0
 
 
+@pytest.mark.slow
 class TestKeyframeWindow:
     def _run_engine_window(self):
         import jax.numpy as jnp
@@ -199,6 +224,7 @@ class TestKeyframeWindow:
         assert w.timestamps == [2.0, 3.0, 4.0]
 
 
+@pytest.mark.slow
 class TestLiveBAIntegration:
     """run_frames(ba_every=N): the BA backend runs inside the live pipeline,
     scatters refined landmarks back into the map and retro-corrects the

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-compile-heavy tier
+
 from rgbd_slam_tpu import engine
 from rgbd_slam_tpu.config import CameraIntrinsics, SlamConfig, MappingConfig, EngineConfig
 from rgbd_slam_tpu.geometry import se3

@@ -123,3 +123,49 @@ class TestMapWriters:
         path = str(tmp_path / "out.obj")
         map_writer.export_slam_map(state, path)
         assert "v 1.0 2.0 3.0" in open(path).read()
+
+
+@pytest.mark.slow
+class TestStreamingMapExport:
+    """Streaming feature-death export (reference: feature_map.hpp:748-758 — every
+    lost LOCAL feature is appended to the map file at death, :288-298 the
+    surviving local map is appended at shutdown)."""
+
+    def test_dead_features_reach_the_export(self, tmp_path):
+        import jax.numpy as jnp
+
+        from rgbd_slam_tpu import runner
+        from rgbd_slam_tpu.mapping import maps as maps_mod
+        from test_engine import CAM, CFG, render
+        from rgbd_slam_tpu.geometry import se3
+
+        # 4 static frames promote wall points to local; a long pan then drives
+        # the original features out of view until they exceed the 10-miss
+        # lifecycle limit and die mid-run
+        frames = []
+        for i in range(26):
+            yaw = 0.0 if i < 4 else 0.06 * (i - 3)
+            quat = se3.quat_from_axis_angle(jnp.asarray([0.0, 0.0, 1.0]),
+                                            jnp.asarray(yaw, jnp.float32))
+            frames.append(render(np.asarray(quat), np.zeros(3, np.float32)))
+
+        evicted_per_frame = []
+
+        def on_frame(i, state, out, dt):
+            evicted_per_frame.append(int(np.asarray(out.point_evicted).sum()))
+
+        path = str(tmp_path / "streamed.obj")
+        state, traj, stats = runner.run_frames(
+            frames, CAM, CFG, with_planes=True, export_map=path,
+            on_frame=on_frame)
+
+        total_evicted = sum(evicted_per_frame)
+        assert total_evicted > 0, \
+            "pan sequence must evict local features mid-run"
+        # the streamed file holds dead + surviving-local features: strictly more
+        # points than the final alive-local map alone
+        n_alive_local = int(np.asarray(
+            maps_mod.alive(state.points) & state.points.is_local).sum())
+        v_lines = [ln for ln in open(path).read().splitlines()
+                   if ln.startswith("v ")]
+        assert len(v_lines) >= n_alive_local + total_evicted

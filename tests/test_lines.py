@@ -6,6 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rgbd_slam_tpu.features import lines
+import pytest
 
 
 def draw_line(img, p0, p1, value=200.0, width=2):
@@ -74,6 +75,7 @@ class TestLineDetection:
         assert int(det.valid.sum()) <= 2
 
 
+@pytest.mark.slow
 class TestLinesInPose:
     """Line features in pose optimization (north-star config 2 — NEW surface, the
     reference never wires lines into its optimizer, rgbd_slam.cpp:304-313)."""

@@ -150,9 +150,24 @@ class TestPoseGraphLayer:
                                np.array([10.0 * i, 0, 0]))
         assert graph.dropped_nodes == 2
         assert graph.frame_ids == [2, 3, 4, 5]
-        assert all(2 <= a and 2 <= b for a, b in graph.edges)
+        assert all(2 <= a and 2 <= b for a, b, _ in graph.edges)
+
+    def test_odometry_and_ba_edges_coexist(self):
+        """A BA edge on a pair must NOT replace its odometry edge — both
+        constraints compete with their own weights (ADVICE r3)."""
+        graph = PoseGraph(max_nodes=8, max_edges=32)
+        q = np.array([1.0, 0, 0, 0])
+        for i in range(3):
+            graph.add_keyframe(i, q, np.array([10.0 * i, 0, 0]))
+        refined = [(q, np.array([0.0, 0, 0])), (q, np.array([11.0, 0, 0])),
+                   (q, np.array([21.0, 0, 0]))]
+        graph.add_ba_window([0, 1, 2], refined)
+        kinds = {k[2] for k in graph.edges}
+        assert kinds == {"odom", "ba"}
+        assert (0, 1, "odom") in graph.edges and (0, 1, "ba") in graph.edges
 
 
+@pytest.mark.slow
 class TestRunnerIntegration:
     @pytest.fixture(scope="class")
     def scene_run(self):

@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # engine-compile-heavy tier
+
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 CAM_W, CAM_H = 320, 240
