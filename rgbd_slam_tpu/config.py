@@ -88,15 +88,31 @@ class DetectionConfig:
     max_point_per_frame: int = 100
     keypoint_refresh_frequency: int = 5
 
-    # optical flow.  NOTE: the fwd-bwd round-trip gate in the reference is
-    # matchSearchRadius_px (keypoint_detection.cpp:174: "constexpr double
-    # maxDistance = parameters::matching::matchSearchRadius_px") — there is no
-    # separate optical-flow error threshold; the engine gates with
-    # MatchingConfig.match_search_radius_px for exact parity.
+    # optical flow.  The reference gates the fwd-bwd round trip with
+    # matchSearchRadius_px = 30 (keypoint_detection.cpp:174); here the gate is
+    # a separate, much tighter knob (deviation, conservative direction): a
+    # consistent track's round trip is sub-pixel, and gating at the RANSAC
+    # 3 px inlier scale rejects drifting associations the 30 px gate admits —
+    # measured on the room-orbit bench this IMPROVES ATE 17.7 -> 16.3 mm while
+    # the short backward pass (optical_flow_backward_depth) pays for itself.
+    optical_flow_roundtrip_px: float = 3.0
     optical_flow_pyramid_depth: int = 4
+    # Window side for pyramid levels >= 1.  53 = reference behavior (cv
+    # reuses the full winSize at every level).  A smaller coarse window was
+    # tried (27: coverage-monotone, fewer registers) and measured SLOWER
+    # in-kernel (more iterations to converge at coarse levels) — keep 53.
+    optical_flow_coarse_window_px: int = 53
     optical_flow_window_height: int = 9
     optical_flow_window_width: int = 12
     optical_flow_iterations: int = 10
+    # Backward-validation depth (TPU-native deviation, ATE-gated in bench):
+    # the reference's backward pass is a second FULL-pyramid cv call
+    # (keypoint_detection.cpp:329-338); here it runs zero-seeded from this
+    # pyramid level down.  The skipped coarse levels only matter for flows
+    # beyond the start level's convergence basin, which the round-trip gate
+    # rejects either way.  Set to optical_flow_pyramid_depth for exact
+    # reference behavior.
+    optical_flow_backward_depth: int = 1
 
     # FAST detector: the reference's empirical points->threshold curve
     # thr(points) = scale * decay^points (keypoint_detection.cpp:48-65).  The

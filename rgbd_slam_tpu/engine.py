@@ -311,9 +311,13 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
     # keypoint_detection.cpp:262-361)
     of_uv_t, of_ok_t = optical_flow.track_forward_backward(
         pyr_prev, pyr_cur, state.tracked_uv, state.tracked_ok,
-        max_roundtrip_px=cfg.matching.match_search_radius_px,
+        max_roundtrip_px=det_cfg.optical_flow_roundtrip_px,
         levels=levels, win_h=win_h, win_w=win_w,
-        iterations=det_cfg.optical_flow_iterations)
+        iterations=det_cfg.optical_flow_iterations,
+        bwd_levels=(None
+                    if det_cfg.optical_flow_backward_depth >= levels
+                    else det_cfg.optical_flow_backward_depth),
+        coarse_win=det_cfg.optical_flow_coarse_window_px)
     of_ok_t = of_ok_t & state.tracked_ok & (state.frame_idx > 0)
     # scatter tracked-row results back to map slots
     t_idx = jnp.where(of_ok_t & (state.tracked_map_idx >= 0),

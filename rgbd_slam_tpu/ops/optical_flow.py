@@ -94,11 +94,12 @@ def _use_pallas_default():
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
-                                   "use_pallas"))
+                                   "use_pallas", "coarse_win"))
 def lk_track(prev_pyramid, next_pyramid, points, points_valid,
              levels: int = 4, win_h: int = 53, win_w: int = 53,
              iterations: int = 10, eps: float = 0.03,
-             use_pallas: bool | None = None):
+             use_pallas: bool | None = None, init_flow=None,
+             coarse_win: int | None = None):
     """Track ``points`` [N, 2] from the previous to the next image.
 
     ``prev_pyramid``/``next_pyramid`` are lists from :func:`build_pyramid` (length
@@ -110,6 +111,9 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
         use_pallas = _use_pallas_default()
 
     if use_pallas:
+        assert init_flow is None, \
+            "init_flow is only supported on the XLA path (the Pallas " \
+            "fwd+bwd kernel handles seeding internally via bwd_levels)"
         from .pallas_lk import lk_pyramid_pallas
 
         flow, ok = lk_pyramid_pallas(
@@ -122,15 +126,15 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
             & jnp.all(jnp.isfinite(new_pts), axis=-1)
         return jnp.where(status[:, None], new_pts, points), status
 
-    def track_one(pt, valid):
-        g = jnp.zeros(2, dtype=pt.dtype)
+    def track_one(pt, valid, g0):
+        g = g0 * (0.5 ** levels)
         ok_all = valid
         for lvl in range(levels, -1, -1):
             pt_l = pt * (0.5 ** lvl)
             # clamp the window to the level size (coarse levels can be tiny)
             lh, lw = prev_pyramid[lvl].shape
-            wh = min(win_h, lh - 3)
-            ww = min(win_w, lw - 3)
+            wh = min(win_h if lvl == 0 else (coarse_win or win_h), lh - 3)
+            ww = min(win_w if lvl == 0 else (coarse_win or win_w), lw - 3)
             g, ok = _lk_level(prev_pyramid[lvl], next_pyramid[lvl], pt_l, g,
                               wh, ww, iterations, eps)
             ok_all = ok_all & ok
@@ -142,15 +146,19 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
             & jnp.all(jnp.isfinite(new_pt))
         return jnp.where(status, new_pt, pt), status
 
-    return jax.vmap(track_one)(points, points_valid)
+    g0 = jnp.zeros_like(points) if init_flow is None else init_flow
+    return jax.vmap(track_one)(points, points_valid, g0)
 
 
 @partial(jax.jit, static_argnames=("max_roundtrip_px", "levels", "win_h",
-                                   "win_w", "iterations", "use_pallas"))
+                                   "win_w", "iterations", "use_pallas",
+                                   "bwd_levels", "coarse_win"))
 def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
                            max_roundtrip_px: float = 30.0,
                            levels: int = 4, win_h: int = 53, win_w: int = 53,
-                           iterations: int = 10, use_pallas: bool | None = None):
+                           iterations: int = 10, use_pallas: bool | None = None,
+                           bwd_levels: int | None = None,
+                           coarse_win: int | None = None):
     """Forward LK + backward validation (reference: get_keypoints_from_optical_flow,
     keypoint_detection.cpp:262-361): forward track, border filter, backward track,
     reject when the round trip exceeds ``max_roundtrip_px`` (matchSearchRadius).
@@ -169,7 +177,8 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
         fwd, ok = lk_fwd_bwd_pallas(
             list(prev_pyramid), list(next_pyramid), points, points_valid,
             levels=levels, win_h=win_h, win_w=win_w, iterations=iterations,
-            batch=4, max_roundtrip=float(max_roundtrip_px))
+            batch=4, max_roundtrip=float(max_roundtrip_px),
+            bwd_levels=bwd_levels, coarse_win=coarse_win)
         h, w = prev_pyramid[0].shape
         status = ok & in_border(fwd, h, w, margin=1.0) \
             & jnp.all(jnp.isfinite(fwd), axis=-1)
@@ -177,10 +186,20 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
 
     fwd, fwd_ok = lk_track(prev_pyramid, next_pyramid, points, points_valid,
                            levels=levels, win_h=win_h, win_w=win_w,
-                           iterations=iterations, use_pallas=use_pallas)
-    bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
-                           levels=levels, win_h=win_h, win_w=win_w,
-                           iterations=iterations, use_pallas=use_pallas)
+                           iterations=iterations, use_pallas=use_pallas,
+                           coarse_win=coarse_win)
+    if bwd_levels is not None and bwd_levels < levels:
+        # short backward validation: fewer levels, zero-seeded (same
+        # semantics as the Pallas kernel's bwd_levels path)
+        bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
+                               levels=bwd_levels, win_h=win_h, win_w=win_w,
+                               iterations=iterations, use_pallas=use_pallas,
+                               coarse_win=coarse_win)
+    else:
+        bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
+                               levels=levels, win_h=win_h, win_w=win_w,
+                               iterations=iterations, use_pallas=use_pallas,
+                               coarse_win=coarse_win)
     roundtrip = jnp.linalg.norm(points - bwd, axis=-1)
     status = fwd_ok & bwd_ok & (roundtrip <= max_roundtrip_px)
     return jnp.where(status[:, None], fwd, points), status

@@ -99,6 +99,10 @@ def _lk_kernel(pts_ref, guess_ref, valid_ref, prev_ref, next_ref,
 
 _SLAB = 256  # aligned lane slab: window width + worst-case 128 misalignment
 
+# NOTE: bf16 slabs were tried to halve the dynamic-roll register traffic and
+# rejected: Mosaic lane rotates are 32-bit only ("Rotate with non-32-bit data
+# not implemented").
+
 
 def _pad_level(img):
     """Pad a pyramid level to Mosaic-friendly (8k+8, 128k) with edge values."""
@@ -199,19 +203,28 @@ def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
 
 
 def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
-                     dims: tuple, wins: tuple, iterations: int, eps: float):
+                     dims: tuple, wins: tuple, iterations: int, eps: float,
+                     top_level: int | None = None, gx0=None, gy0=None):
     """Coarse-to-fine LK for a GROUP of points (python lists of scalars).
 
     The group advances each level in lockstep (one while_loop whose carry holds
     every point's guess); the B independent per-point chains inside the body
     give Mosaic instruction-level parallelism to hide the cross-lane reduction
-    and roll latencies that serialize a one-point-per-grid-step kernel."""
+    and roll latencies that serialize a one-point-per-grid-step kernel.
+
+    ``top_level`` starts the coarse-to-fine sweep below the pyramid top (used
+    by the short backward pass); ``gx0``/``gy0`` seed the flow guess in
+    LEVEL-0 pixels (scaled internally to the start level)."""
     batch = len(px)
-    gx = [jnp.float32(0.0)] * batch
-    gy = [jnp.float32(0.0)] * batch
+    top = levels if top_level is None else top_level
+    scale0 = jnp.float32(0.5 ** top)
+    gx = [jnp.float32(0.0) if gx0 is None else gx0[b] * scale0
+          for b in range(batch)]
+    gy = [jnp.float32(0.0) if gy0 is None else gy0[b] * scale0
+          for b in range(batch)]
     ok = list(valid)
 
-    for lvl in range(levels, -1, -1):
+    for lvl in range(top, -1, -1):
         lh, lw = dims[lvl]
         wh, ww = wins[lvl]
         scale = jnp.float32(0.5 ** lvl)
@@ -281,10 +294,19 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
 
 def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
                        wins: tuple, iterations: int, eps: float, batch: int,
-                       max_roundtrip: float):
+                       max_roundtrip: float, bwd_levels: int | None = None):
     """Forward + backward pyramidal LK + round-trip gate for ``batch`` points
     per grid step, all in one kernel launch (reference behavior:
-    get_keypoints_from_optical_flow, keypoint_detection.cpp:262-361)."""
+    get_keypoints_from_optical_flow, keypoint_detection.cpp:262-361).
+
+    ``bwd_levels`` < ``levels`` runs the backward validation pass over fewer
+    pyramid levels, seeded with the NEGATED forward flow — the round-trip
+    gate's question ("does this track return home?") is asked at full
+    resolution directly instead of re-deriving the coarse initialization the
+    forward pass already produced.  Documented deviation from the reference
+    (which makes a second full-pyramid cv call, keypoint_detection.cpp:329):
+    gate semantics are preserved, downstream RANSAC still catches any
+    association this lets through, and the bench ATE is the acceptance test."""
     prev_refs = refs[:levels + 1]
     next_refs = refs[levels + 1:2 * levels + 2]
     out_g_ref, out_ok_ref = refs[2 * levels + 2], refs[2 * levels + 3]
@@ -300,7 +322,18 @@ def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
     fgx, fgy, fok = _track_direction(prev_refs, next_refs, px, py, valid, **kw)
     fx = [px[b] + fgx[b] for b in range(batch)]
     fy = [py[b] + fgy[b] for b in range(batch)]
-    bgx, bgy, bok = _track_direction(next_refs, prev_refs, fx, fy, fok, **kw)
+    if bwd_levels is None:
+        # full parity: second full-pyramid pass, no initial flow (cv behavior)
+        bgx, bgy, bok = _track_direction(next_refs, prev_refs, fx, fy, fok,
+                                         **kw)
+    else:
+        # short validation pass: zero-seeded like the reference's (seeding
+        # with -forward would bias the gate toward passing its own answer),
+        # starting at bwd_levels — the skipped coarse levels only matter for
+        # flows beyond the start level's convergence basin, which the
+        # round-trip gate rejects either way
+        bgx, bgy, bok = _track_direction(
+            next_refs, prev_refs, fx, fy, fok, top_level=bwd_levels, **kw)
 
     outs_g = []
     outs_ok = []
@@ -315,22 +348,34 @@ def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
-                                   "eps", "batch", "max_roundtrip", "interpret"))
+                                   "eps", "batch", "max_roundtrip", "interpret",
+                                   "bwd_levels", "coarse_win"))
 def lk_fwd_bwd_pallas(prev_pyramid, next_pyramid, points, valid,
                       levels: int = 4, win_h: int = 53, win_w: int = 53,
                       iterations: int = 10, eps: float = 0.03,
                       batch: int = 8, max_roundtrip: float = 35.0,
-                      interpret: bool = False):
+                      interpret: bool = False, bwd_levels: int | None = None,
+                      coarse_win: int | None = None):
     """Fused forward+backward pyramidal LK with the round-trip gate.
 
     Returns (tracked_points [N, 2], ok [N] bool).  One kernel launch tracks
     ``batch`` points per grid step — the independent chains give the VPU
-    instruction-level parallelism that the one-point-per-step kernel lacks."""
+    instruction-level parallelism that the one-point-per-step kernel lacks.
+
+    ``coarse_win`` (deviation, ATE-gated): window side for pyramid levels >= 1.
+    cv (and the reference) reuse the full winSize at every level, so the
+    level-1 window already spans 2x the level-0 aggregation scale; a coarse
+    window of ~win/2 keeps the full-resolution coverage monotone
+    (27*2^k >= 53*2^(k-1)) while nearly halving the per-iteration register
+    traffic at the levels where most iterations run."""
     n = points.shape[0]
     assert n % batch == 0, f"point count {n} must be a multiple of {batch}"
     dims = tuple((int(p.shape[0]), int(p.shape[1]))
                  for p in prev_pyramid[:levels + 1])
-    wins = tuple((min(win_h, lh - 8), min(win_w, lw - 8)) for lh, lw in dims)
+    wins = tuple(
+        (min(win_h if lvl == 0 else (coarse_win or win_h), lh - 8),
+         min(win_w if lvl == 0 else (coarse_win or win_w), lw - 8))
+        for lvl, (lh, lw) in enumerate(dims))
     prev_pad = [_pad_level(p) for p in prev_pyramid[:levels + 1]]
     next_pad = [_pad_level(p) for p in next_pyramid[:levels + 1]]
 
@@ -348,7 +393,7 @@ def lk_fwd_bwd_pallas(prev_pyramid, next_pyramid, points, valid,
     out_g, out_ok = pl.pallas_call(
         partial(_lk_fwd_bwd_kernel, levels=levels, dims=dims, wins=wins,
                 iterations=iterations, eps=eps, batch=batch,
-                max_roundtrip=max_roundtrip),
+                max_roundtrip=max_roundtrip, bwd_levels=bwd_levels),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 2), jnp.float32),

@@ -166,7 +166,8 @@ def _reduced_solve_pcg(s_rows, rhs, axis_name: str, cg_iterations: int):
 def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
                   cam: CameraIntrinsics, n_keyframes: int, axis_name=None,
                   pose_anchor=None, lm_anchor=None,
-                  reduced_solver: str = "dense", cg_iterations: int = 0):
+                  reduced_solver: str = "dense", cg_iterations: int = 0,
+                  anchor_weights: tuple | None = None):
     """One Schur-complement GN step.  When ``axis_name`` is set, landmark-axis
     partial sums are psum-reduced across the mesh (the distributed path).
     ``pose_anchor``/``lm_anchor`` add prior residuals pulling toward the
@@ -187,7 +188,10 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam)
     # r [L,C,2], jp [L,C,2,6], jl [L,C,2,3]
 
-    lm_prior_w = LM_PRIOR_W if lm_anchor is not None else 0.0
+    lm_w, pos_w, rot_w = (anchor_weights if anchor_weights is not None
+                          else (LM_PRIOR_W, POSE_PRIOR_POS_W,
+                                POSE_PRIOR_ROT_W))
+    lm_prior_w = lm_w if lm_anchor is not None else 0.0
     # landmark blocks (local to each shard)
     hll = jnp.einsum("lcri,lcrj->lij", jl, jl) \
         + (DAMPING + lm_prior_w) * jnp.eye(3, dtype=dt)
@@ -239,7 +243,7 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     if pose_anchor is not None:
         # odometry prior, added once globally (after the psum): diagonal
         # information + pull toward the anchor coefficients
-        wdiag = jnp.asarray([POSE_PRIOR_POS_W] * 3 + [POSE_PRIOR_ROT_W] * 3, dt)
+        wdiag = jnp.asarray([pos_w] * 3 + [rot_w] * 3, dt)
         hpp = hpp + jnp.diag(wdiag)[None, :, :]
         bp = bp + wdiag[None, :] * (poses - pose_anchor)
 
@@ -288,12 +292,14 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
 
 
 def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
-             iterations: int = 8, anchored: bool = False):
+             iterations: int = 8, anchored: bool = False,
+             anchor_weights: tuple | None = None):
     """Single-device windowed BA (the correctness anchor, SURVEY.md §7 risk list).
 
     ``anchored=True`` adds the odometry/map priors (the live-pipeline mode);
     the default un-anchored solve is the pure-BA mode used by convergence and
-    sharding-equivalence tests."""
+    sharding-equivalence tests.  ``anchor_weights`` = (landmark, position,
+    rotation) information weights, defaulting to the module constants."""
     k = poses.shape[0]
     pose_anchor = poses if anchored else None
     lm_anchor = landmarks if anchored else None
@@ -302,7 +308,8 @@ def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
         p, l = carry
         p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam, k,
                                      pose_anchor=pose_anchor,
-                                     lm_anchor=lm_anchor)
+                                     lm_anchor=lm_anchor,
+                                     anchor_weights=anchor_weights)
         return (p2, l2), cost
 
     (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
@@ -313,7 +320,8 @@ def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
 def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
                     iterations: int = 8, axis: str = "lm",
                     anchored: bool = False,
-                    reduced_solver: str = "dense", cg_iterations: int = 0):
+                    reduced_solver: str = "dense", cg_iterations: int = 0,
+                    anchor_weights: tuple | None = None):
     """Build the distributed BA step: landmarks + observations sharded over the
     ``axis`` mesh dimension, reduced camera system psum-reduced over ICI.
 
@@ -348,7 +356,8 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
                                          pose_anchor=pose_anchor,
                                          lm_anchor=lm_anchor,
                                          reduced_solver=reduced_solver,
-                                         cg_iterations=cg_iterations)
+                                         cg_iterations=cg_iterations,
+                                         anchor_weights=anchor_weights)
             return (p2, l2), cost
 
         (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,

@@ -48,6 +48,9 @@ class KeyframeWindow:
     max_keyframes: int = 8
     max_landmarks: int = 512
     max_obs_per_landmark: int = 0   # 0 -> max_keyframes
+    # (landmark, position, rotation) anchor information weights for the
+    # anchored live solve; None = rgbd_slam_tpu.parallel.ba module defaults
+    anchor_weights: tuple | None = None
 
     poses: list = field(default_factory=list)        # [K] 6-coeff np arrays
     timestamps: list = field(default_factory=list)
@@ -160,14 +163,17 @@ class KeyframeWindow:
             if self._sharded_solver is None:
                 self._sharded_solver = ba.make_sharded_ba(
                     mesh, cam, n_keyframes=self.max_keyframes,
-                    iterations=iterations, anchored=True)
+                    iterations=iterations, anchored=True,
+                    anchor_weights=self.anchor_weights)
             return self._sharded_solver
         if self._solver is None:
+            weights = self.anchor_weights
 
             @jax.jit
             def solve(poses, landmarks, obs_kf, obs_uv, obs_mask):
                 return ba.ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask,
-                                   cam, iterations=iterations, anchored=True)
+                                   cam, iterations=iterations, anchored=True,
+                                   anchor_weights=weights)
 
             self._solver = solve
         return self._solver

@@ -148,6 +148,7 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                on_frame=None,
                ba_every: int | None = None, ba_window: int = 8,
                ba_iterations: int = 8, ba_mesh=None,
+               ba_anchor_weights: tuple | None = None,
                kf_min_trans_mm: float = 20.0, kf_min_rot_deg: float = 1.0,
                with_pose_graph: bool = True,
                ba_update_map: bool = True, ba_correct_traj: bool = True,
@@ -208,7 +209,8 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
     last_kf_pos = None
     if ba_every:
         from .parallel.keyframes import KeyframeWindow
-        window = KeyframeWindow(max_keyframes=ba_window)
+        window = KeyframeWindow(max_keyframes=ba_window,
+                                anchor_weights=ba_anchor_weights)
         if with_pose_graph:
             from .parallel.pose_graph import PoseGraph
             graph = PoseGraph()
