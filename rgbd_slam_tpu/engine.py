@@ -74,6 +74,8 @@ class StepOutput(NamedTuple):
     cylinder_cells: jnp.ndarray    # [C] union of cylinder inlier cell masks
     # per-slot observation record for the keyframe/BA backend
     point_obs_uv: jnp.ndarray   # [M3, 2] matched screen observation
+    point_obs_z: jnp.ndarray    # [M3] measured depth (mm, 0 = depth-less) —
+                                # feeds the window BA's RGB-D depth residual
     point_matched: jnp.ndarray  # [M3] bool (match AND RANSAC inlier)
     point_fid: jnp.ndarray      # [M3] map feature id (-1 = empty)
     # streaming feature-death export records (feature_map.hpp:748-758: LOCAL
@@ -971,6 +973,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_cylinders=n_cylinders,
         cylinder_cells=cylinder_cells,
         point_obs_uv=p_obs_uv,
+        point_obs_z=jnp.where(p_obs_depth_ok, p_obs_z, 0.0),
         point_matched=p_final & pts_alive,
         point_fid=pts.fid,
         n_evicted=(jnp.sum(p_evicted) + jnp.sum(q_evicted)

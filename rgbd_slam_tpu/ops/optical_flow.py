@@ -98,7 +98,7 @@ def _use_pallas_default():
 def lk_track(prev_pyramid, next_pyramid, points, points_valid,
              levels: int = 4, win_h: int = 53, win_w: int = 53,
              iterations: int = 10, eps: float = 0.03,
-             use_pallas: bool | None = None, init_flow=None,
+             use_pallas: bool | None = None,
              coarse_win: int | None = None):
     """Track ``points`` [N, 2] from the previous to the next image.
 
@@ -111,9 +111,6 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
         use_pallas = _use_pallas_default()
 
     if use_pallas:
-        assert init_flow is None, \
-            "init_flow is only supported on the XLA path (the Pallas " \
-            "fwd+bwd kernel handles seeding internally via bwd_levels)"
         from .pallas_lk import lk_pyramid_pallas
 
         flow, ok = lk_pyramid_pallas(
@@ -126,8 +123,8 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
             & jnp.all(jnp.isfinite(new_pts), axis=-1)
         return jnp.where(status[:, None], new_pts, points), status
 
-    def track_one(pt, valid, g0):
-        g = g0 * (0.5 ** levels)
+    def track_one(pt, valid):
+        g = jnp.zeros(2, dtype=pt.dtype)
         ok_all = valid
         for lvl in range(levels, -1, -1):
             pt_l = pt * (0.5 ** lvl)
@@ -146,8 +143,7 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
             & jnp.all(jnp.isfinite(new_pt))
         return jnp.where(status, new_pt, pt), status
 
-    g0 = jnp.zeros_like(points) if init_flow is None else init_flow
-    return jax.vmap(track_one)(points, points_valid, g0)
+    return jax.vmap(track_one)(points, points_valid)
 
 
 @partial(jax.jit, static_argnames=("max_roundtrip_px", "levels", "win_h",

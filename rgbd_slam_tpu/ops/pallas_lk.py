@@ -204,7 +204,7 @@ def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
 
 def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
                      dims: tuple, wins: tuple, iterations: int, eps: float,
-                     top_level: int | None = None, gx0=None, gy0=None):
+                     top_level: int | None = None):
     """Coarse-to-fine LK for a GROUP of points (python lists of scalars).
 
     The group advances each level in lockstep (one while_loop whose carry holds
@@ -212,16 +212,12 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
     give Mosaic instruction-level parallelism to hide the cross-lane reduction
     and roll latencies that serialize a one-point-per-grid-step kernel.
 
-    ``top_level`` starts the coarse-to-fine sweep below the pyramid top (used
-    by the short backward pass); ``gx0``/``gy0`` seed the flow guess in
-    LEVEL-0 pixels (scaled internally to the start level)."""
+    ``top_level`` starts the zero-seeded coarse-to-fine sweep below the
+    pyramid top (used by the short backward pass)."""
     batch = len(px)
     top = levels if top_level is None else top_level
-    scale0 = jnp.float32(0.5 ** top)
-    gx = [jnp.float32(0.0) if gx0 is None else gx0[b] * scale0
-          for b in range(batch)]
-    gy = [jnp.float32(0.0) if gy0 is None else gy0[b] * scale0
-          for b in range(batch)]
+    gx = [jnp.float32(0.0)] * batch
+    gy = [jnp.float32(0.0)] * batch
     ok = list(valid)
 
     for lvl in range(top, -1, -1):

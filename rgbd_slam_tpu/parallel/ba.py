@@ -36,29 +36,51 @@ DAMPING = 1e-4
 HUBER_PX = 3.0   # robust-kernel scale = the engine's point inlier gate
                  # (reference: map_point.cpp:16-65, parameters.hpp matching 3 px)
 
-# Prior (anchor) weights.  The window's observations are LK tracks whose small
-# systematic drift a plain least-squares BA fits EXACTLY — moving landmarks and
-# poses with the drift and making the trajectory worse than odometry (measured
-# via the runner's ba ablations).  Anchoring landmarks at their KF-fused map
-# positions (the front end's Kalman estimate, which damps observation noise by
-# design — SURVEY.md §2.6) and poses at odometry turns BA into a redistribution
-# of error inside the window instead of a re-fit of drifting tracks.
-# Units: residual-space information; weights = 1/sigma^2.
-LM_PRIOR_W = 1.0 / (10.0 ** 2)        # landmark anchor sigma 10 mm
-POSE_PRIOR_POS_W = 1.0 / (5.0 ** 2)   # odometry position sigma 5 mm
-POSE_PRIOR_ROT_W = 1.0 / (0.002 ** 2) # stereographic coeff sigma 0.002 (~0.23 deg)
+# Prior (anchor) weights (units: residual-space information, 1/sigma^2).
+# History (r4 ablations, room-orbit + tunnel benches): a PIXEL-ONLY window
+# refit degraded ATE at every anchor setting — the front-end KF fuses metric
+# depth every frame, so reprojection-only BA discards information the map has.
+# With the RGB-D depth residual row (_project_residual) the solve carries the
+# full measurement content and LOOSE anchors win: room ATE 16.3 (BA off) ->
+# 14.3 mm, tunnel 7.9 -> 7.4 mm at these defaults; tighter anchors (10/5mm)
+# leave accuracy on the table, much looser (100/80mm) drifts back up.
+LM_PRIOR_W = 1.0 / (30.0 ** 2)        # landmark anchor sigma 30 mm
+POSE_PRIOR_POS_W = 1.0 / (20.0 ** 2)  # odometry position sigma 20 mm
+POSE_PRIOR_ROT_W = 1.0 / (0.006 ** 2) # stereographic coeff sigma (~0.7 deg)
 
 
-def _project_residual(pose6, landmark, uv, cam: CameraIntrinsics):
-    """Reprojection residual [2] of one landmark in one keyframe."""
+def _depth_sigma_mm(z):
+    """Kinect depth-quantization sigma (reference: covariances.cpp:12-19 with
+    the parameters.hpp:13-18 constants — same model the front-end KF uses)."""
+    from ..config import DepthNoiseModel
+    m = DepthNoiseModel()
+    return jnp.maximum(m.quadratic * z * z + m.linear * z + m.constant,
+                       m.floor_mm)
+
+
+def _project_residual(pose6, landmark, uv, z_obs, cam: CameraIntrinsics,
+                      z_weight):
+    """RGB-D observation residual [3] of one landmark in one keyframe:
+    (du, dv, w_z * dz).
+
+    The depth row is what makes windowed BA in this system RGB-D rather than
+    monocular: the front-end per-feature KF fuses metric depth every frame
+    (map_point.cpp:188-240), so a reprojection-only window refit DISCARDS
+    information the map already has and measurably degrades it (r4 ablation:
+    every pixel-only BA feedback path hurt full-trajectory ATE).  With the
+    depth row, the window solve sees the same measurement content plus
+    cross-keyframe consistency."""
     quat, pos = se3.coefficients_to_pose(pose6)
     w2c = se3.world_to_camera(quat, pos)
     proj, valid = pinhole.world_to_screen(landmark, w2c, cam)
-    r = uv - proj[:2]
-    return jnp.where(valid, r, 0.0)
+    r_uv = jnp.where(valid, uv - proj[:2], 0.0)
+    dz = jnp.where(valid & (z_obs > 0.0),
+                   (z_obs - proj[2]) * z_weight, 0.0)
+    return jnp.concatenate([r_uv, dz[None]])
 
 
-def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics):
+def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask,
+               cam: CameraIntrinsics, obs_z=None):
     """Per-observation residuals and Jacobian blocks, batched over [L, C].
 
     Residuals/Jacobians carry a Huber IRLS weight sqrt(HUBER_PX / |r|) beyond
@@ -66,24 +88,34 @@ def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics
     problem sees every surviving association, and one wrong association with a
     large residual would otherwise dominate the quadratic cost and drag every
     pose in the window (measured: live BA *hurt* full-trajectory ATE until
-    robustified)."""
+    robustified).
 
-    def one(lm, kf_idx, uv, ok):
+    ``obs_z`` [L, C] adds the per-observation measured depth (mm, 0 = no
+    depth) as a third residual row weighted by the Kinect noise model."""
+    if obs_z is None:
+        obs_z = jnp.zeros_like(obs_mask, dtype=obs_uv.dtype)
+
+    def one(lm, kf_idx, uv, z, ok):
         pose6 = poses[kf_idx]
+        # px-equivalent information weight for the depth row: ~1 px of screen
+        # sigma against sigma_z(z) mm of depth sigma
+        zw = jnp.where(z > 0.0, 1.0 / _depth_sigma_mm(jnp.maximum(z, 1.0)),
+                       0.0)
 
         def rf(p6, l3):
-            return _project_residual(p6, l3, uv, cam)
+            return _project_residual(p6, l3, uv, z, cam, zw)
 
         r = rf(pose6, lm)
-        jp = jax.jacfwd(rf, argnums=0)(pose6, lm)   # [2, 6]
-        jl = jax.jacfwd(rf, argnums=1)(pose6, lm)   # [2, 3]
-        rn = jnp.linalg.norm(r)
+        jp = jax.jacfwd(rf, argnums=0)(pose6, lm)   # [3, 6]
+        jl = jax.jacfwd(rf, argnums=1)(pose6, lm)   # [3, 3]
+        rn = jnp.linalg.norm(r[:2])
         hub = jnp.sqrt(HUBER_PX / jnp.maximum(rn, HUBER_PX))
         m = ok.astype(r.dtype) * hub
         return r * m, jp * m, jl * m
 
-    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0)),
-                    in_axes=(0, 0, 0, 0))(landmarks, obs_kf, obs_uv, obs_mask)
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)),
+                    in_axes=(0, 0, 0, 0, 0))(landmarks, obs_kf, obs_uv, obs_z,
+                                             obs_mask)
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -167,7 +199,7 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
                   cam: CameraIntrinsics, n_keyframes: int, axis_name=None,
                   pose_anchor=None, lm_anchor=None,
                   reduced_solver: str = "dense", cg_iterations: int = 0,
-                  anchor_weights: tuple | None = None):
+                  anchor_weights: tuple | None = None, obs_z=None):
     """One Schur-complement GN step.  When ``axis_name`` is set, landmark-axis
     partial sums are psum-reduced across the mesh (the distributed path).
     ``pose_anchor``/``lm_anchor`` add prior residuals pulling toward the
@@ -185,7 +217,8 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
     device busy in both phases."""
     k = n_keyframes
     dt = poses.dtype
-    r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam)
+    r, jp, jl = _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask, cam,
+                           obs_z=obs_z)
     # r [L,C,2], jp [L,C,2,6], jl [L,C,2,3]
 
     lm_w, pos_w, rot_w = (anchor_weights if anchor_weights is not None
@@ -293,13 +326,14 @@ def _gn_iteration(poses, landmarks, obs_kf, obs_uv, obs_mask,
 
 def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
              iterations: int = 8, anchored: bool = False,
-             anchor_weights: tuple | None = None):
+             anchor_weights: tuple | None = None, obs_z=None):
     """Single-device windowed BA (the correctness anchor, SURVEY.md §7 risk list).
 
     ``anchored=True`` adds the odometry/map priors (the live-pipeline mode);
     the default un-anchored solve is the pure-BA mode used by convergence and
     sharding-equivalence tests.  ``anchor_weights`` = (landmark, position,
-    rotation) information weights, defaulting to the module constants."""
+    rotation) information weights, defaulting to the module constants.
+    ``obs_z`` [L, C] measured depths (mm) add the RGB-D depth residual row."""
     k = poses.shape[0]
     pose_anchor = poses if anchored else None
     lm_anchor = landmarks if anchored else None
@@ -309,7 +343,8 @@ def ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask, cam: CameraIntrinsics,
         p2, l2, cost = _gn_iteration(p, l, obs_kf, obs_uv, obs_mask, cam, k,
                                      pose_anchor=pose_anchor,
                                      lm_anchor=lm_anchor,
-                                     anchor_weights=anchor_weights)
+                                     anchor_weights=anchor_weights,
+                                     obs_z=obs_z)
         return (p2, l2), cost
 
     (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
@@ -321,7 +356,8 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
                     iterations: int = 8, axis: str = "lm",
                     anchored: bool = False,
                     reduced_solver: str = "dense", cg_iterations: int = 0,
-                    anchor_weights: tuple | None = None):
+                    anchor_weights: tuple | None = None,
+                    with_depth: bool = False):
     """Build the distributed BA step: landmarks + observations sharded over the
     ``axis`` mesh dimension, reduced camera system psum-reduced over ICI.
 
@@ -340,7 +376,7 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
             f"the mesh axis size ({nd})"
     shard_map = jax.shard_map
 
-    def stepfn(poses, landmarks, obs_kf, obs_uv, obs_mask):
+    def stepfn(poses, landmarks, obs_kf, obs_uv, obs_mask, obs_z=None):
         pose_anchor = poses if anchored else None
         lm_anchor = landmarks if anchored else None
         if reduced_solver == "pcg":
@@ -357,7 +393,8 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
                                          lm_anchor=lm_anchor,
                                          reduced_solver=reduced_solver,
                                          cg_iterations=cg_iterations,
-                                         anchor_weights=anchor_weights)
+                                         anchor_weights=anchor_weights,
+                                         obs_z=obs_z)
             return (p2, l2), cost
 
         (p, l), costs = jax.lax.scan(body, (poses, landmarks), None,
@@ -369,9 +406,11 @@ def make_sharded_ba(mesh: Mesh, cam: CameraIntrinsics, n_keyframes: int,
             costs = jax.lax.pmean(costs, axis)
         return p, l, costs
 
+    n_in = 6 if with_depth else 5
     sharded = shard_map(
         stepfn, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis),
+                  P(axis))[:n_in],
         out_specs=(P(), P(axis), P()),
     )
     return jax.jit(sharded)

@@ -87,12 +87,15 @@ class KeyframeWindow:
         matched = np.asarray(output.point_matched)
         fids = np.asarray(output.point_fid)
         uvs = np.asarray(output.point_obs_uv)
+        zs = (np.asarray(output.point_obs_z)
+              if hasattr(output, "point_obs_z")
+              else np.zeros(len(fids), np.float32))
         pos = np.asarray(point_positions)
         for i in np.nonzero(matched & (fids >= 0))[0]:
             fid = int(fids[i])
             entry = self.obs.setdefault(fid, [])
             if len(entry) < self.max_obs_per_landmark:
-                entry.append((kf_idx, uvs[i].copy()))
+                entry.append((kf_idx, uvs[i].copy(), float(zs[i])))
             else:
                 self.dropped_obs += 1
             self.landmark_pos[fid] = pos[i].copy()
@@ -104,7 +107,7 @@ class KeyframeWindow:
         self.frame_ids.pop(0)
         new_obs = {}
         for fid, entries in self.obs.items():
-            kept = [(k - 1, uv) for k, uv in entries if k > 0]
+            kept = [(k - 1, uv, z) for k, uv, z in entries if k > 0]
             if kept:
                 new_obs[fid] = kept
         self.obs = new_obs
@@ -137,6 +140,7 @@ class KeyframeWindow:
         c = self.max_obs_per_landmark
         obs_kf = np.zeros((l, c), np.int32)
         obs_uv = np.zeros((l, c, 2), np.float32)
+        obs_z = np.zeros((l, c), np.float32)
         obs_mask = np.zeros((l, c), bool)
         landmarks = np.zeros((l, 3), np.float32)
         fids = np.full((l,), -1, np.int64)
@@ -147,14 +151,16 @@ class KeyframeWindow:
             slots[i] = self.landmark_slot.get(fid, 0)
             lm_valid[i] = True
             landmarks[i] = self.landmark_pos[fid]
-            for j, (kf, uv) in enumerate(entries[:c]):
+            for j, (kf, uv, z) in enumerate(entries[:c]):
                 obs_kf[i, j] = kf
                 obs_uv[i, j] = uv
+                obs_z[i, j] = z
                 obs_mask[i, j] = True
         poses = np.zeros((k, 6), np.float32)
         poses[: self.n_keyframes] = np.stack(self.poses).astype(np.float32)
         return (jnp.asarray(poses), jnp.asarray(landmarks), jnp.asarray(obs_kf),
-                jnp.asarray(obs_uv), jnp.asarray(obs_mask), fids, slots, lm_valid)
+                jnp.asarray(obs_uv), jnp.asarray(obs_z), jnp.asarray(obs_mask),
+                fids, slots, lm_valid)
 
     def _get_solver(self, cam: CameraIntrinsics, iterations: int, mesh):
         """One compiled solver per window (static problem shape => zero recompiles
@@ -164,16 +170,16 @@ class KeyframeWindow:
                 self._sharded_solver = ba.make_sharded_ba(
                     mesh, cam, n_keyframes=self.max_keyframes,
                     iterations=iterations, anchored=True,
-                    anchor_weights=self.anchor_weights)
+                    anchor_weights=self.anchor_weights, with_depth=True)
             return self._sharded_solver
         if self._solver is None:
             weights = self.anchor_weights
 
             @jax.jit
-            def solve(poses, landmarks, obs_kf, obs_uv, obs_mask):
+            def solve(poses, landmarks, obs_kf, obs_uv, obs_mask, obs_z):
                 return ba.ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask,
                                    cam, iterations=iterations, anchored=True,
-                                   anchor_weights=weights)
+                                   anchor_weights=weights, obs_z=obs_z)
 
             self._solver = solve
         return self._solver
@@ -189,9 +195,17 @@ class KeyframeWindow:
         problem = self.build_problem()
         if problem is None:
             return None
-        poses, landmarks, obs_kf, obs_uv, obs_mask, fids, slots, lm_valid = problem
+        (poses, landmarks, obs_kf, obs_uv, obs_z, obs_mask, fids, slots,
+         lm_valid) = problem
         fn = self._get_solver(cam, iterations, mesh)
-        new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv, obs_mask)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(mesh, P("lm"))
+            landmarks, obs_kf, obs_uv, obs_z, obs_mask = (
+                jax.device_put(a, sh)
+                for a in (landmarks, obs_kf, obs_uv, obs_z, obs_mask))
+        new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv,
+                                      obs_mask, obs_z)
 
         quats, positions = _coeffs_to_poses(new_poses)
         quats, positions = np.asarray(quats), np.asarray(positions)

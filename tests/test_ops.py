@@ -5,6 +5,7 @@ behavior of our from-scratch kernels on synthetic images with known structure.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -239,6 +240,7 @@ class TestDepthCloud:
         assert close.mean() > 0.95
 
 
+@pytest.mark.slow
 class TestRectifyTwoCamera:
     """Non-identity depth->rgb extrinsics against a synthetic two-camera render
     (VERDICT r2 next #7; reference: rgbd_slam.cpp:99-121 +

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # LM/RANSAC behavior suites (compile-heavy)
+
 from rgbd_slam_tpu.config import CameraIntrinsics, EngineConfig
 from rgbd_slam_tpu.geometry import pinhole, planes, se3
 from rgbd_slam_tpu.pose.features import make_matched_features
