@@ -193,14 +193,19 @@ def tunnel_trajectory(n_frames):
 
 
 def bench_tunnel(cam, cfg):
-    """Full-sequence ATE inside the cylindrical tunnel with planes+cylinders on."""
+    """Full-sequence ATE inside the cylindrical tunnel with planes+cylinders
+    on — BA-on and BA-off, so the backend earns its place on both flagship
+    scenes."""
     scene = TunnelScene(cam)
     poses = tunnel_trajectory(N_TUNNEL_FRAMES)
     frames = [scene.render(q, p) for q, p in poses]
     gt = np.stack([p for _, p in poses]).astype(np.float64)
-    _, traj, _ = runner.run_frames(frames, cam, cfg, with_planes=True)
-    metrics = runner.evaluate_against_ground_truth(traj, gt)
-    return metrics["ate_rmse_mm"]
+    _, traj_off, _ = runner.run_frames(frames, cam, cfg, with_planes=True)
+    off = runner.evaluate_against_ground_truth(traj_off, gt)["ate_rmse_mm"]
+    _, traj_on, _ = runner.run_frames(frames, cam, cfg, with_planes=True,
+                                      ba_every=8)
+    on = runner.evaluate_against_ground_truth(traj_on, gt)["ate_rmse_mm"]
+    return on, off
 
 
 def main():
@@ -212,7 +217,7 @@ def main():
     ate_mm, ate_off_mm, stats = bench_accuracy(frames, gt_pos, cam, cfg)
     hard_ate_mm, hard_lost = bench_hard(cam, cfg)
     lines_ate_mm, lines_fps = bench_lines(frames, gt_pos, cam, cfg)
-    tunnel_ate_mm = bench_tunnel(cam, cfg)
+    tunnel_ate_mm, tunnel_ate_off_mm = bench_tunnel(cam, cfg)
 
     wall_us = 1e6 / fps if fps > 0 else 0.0
     result = {
@@ -235,6 +240,7 @@ def main():
         "lines_fps": round(lines_fps, 1),
         "lines_frames": N_LINES_FRAMES,
         "ate_tunnel_mm": round(tunnel_ate_mm, 3),
+        "ate_tunnel_ba_off_mm": round(tunnel_ate_off_mm, 3),
         "tunnel_frames": N_TUNNEL_FRAMES,
         "final_pose_error_mm": round(final_err, 2),
         "tracking_success": success,

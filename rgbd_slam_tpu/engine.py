@@ -656,7 +656,10 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         upd_params = planes_geo.normalize_plane(upd_params)
         do_k = (k_final & maps.alive(pl))[:, None]
 
-        # polygon merge in the map plane's basis
+        # polygon merge in the map plane's basis — compacted to the few
+        # matched planes (a handful per frame) instead of vmapping the
+        # O(V^2) hull merge over all map slots (bench trace: the full-slot
+        # merge was most of the 0.65 ms/frame plane stage)
         r = new_c2w[:3, :3]
         t = new_c2w[:3, 3]
         det_center_w = det_planes.basis_center[safe_k] @ r.T + t
@@ -673,12 +676,18 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
                 pl.poly_verts[mi], pl.poly_count[mi],
                 verts2, det_planes.poly_count[safe_k[mi]])
 
-        mverts, mcounts = jax.vmap(merge_poly)(jnp.arange(mp))
+        kidx, kkeep = _compact_mask(do_k[:, 0], 8)
+        mverts_c, mcounts_c = jax.vmap(merge_poly)(kidx)
+        # unfilled compact rows scatter out of bounds (dropped) — a 0-default
+        # index would otherwise race a real merge into slot 0
+        kidx_w = jnp.where(kkeep, kidx, mp)
+        mverts = pl.poly_verts.at[kidx_w].set(mverts_c, mode="drop")
+        mcounts = pl.poly_count.at[kidx_w].set(mcounts_c, mode="drop")
         new_planes = pl._replace(
             params=jnp.where(do_k, upd_params, pl.params),
             cov=jnp.where(do_k[..., None], upd_pcov, pl.cov),
-            poly_verts=jnp.where(do_k[..., None], mverts, pl.poly_verts),
-            poly_count=jnp.where(do_k[:, 0], mcounts, pl.poly_count),
+            poly_verts=mverts,
+            poly_count=mcounts,
         )
     else:
         new_planes = pl

@@ -285,9 +285,13 @@ def compute_optimized_pose(key, quat0, position0, feats: MatchedFeatures,
     else:
         hyp_ok = jnp.ones((b,), bool)
 
-    prep_all = prepare_features(feats, cam)  # shared by every pose scoring below
+    prep_all = prepare_features(feats, cam)  # per-slot masks for best/final
+    # hypothesis ranking only consumes score/count totals, which are invariant
+    # under compaction — score the ~100-hypothesis batch on the compacted
+    # feature block (~2x fewer residual rows than map capacity)
+    prep_sc = prepare_features(compact_features(feats), cam)
     hyp_scores, hyp_counts = jax.vmap(
-        lambda c: _score_pose(c, prep_all, cam, ransac_cfg)[:2])(hyp_coeffs)
+        lambda c: _score_pose(c, prep_sc, cam, ransac_cfg)[:2])(hyp_coeffs)
     hyp_scores = jnp.where(hyp_ok, hyp_scores, -1.0)
 
     # best hypothesis: max score, ties by inlier count
