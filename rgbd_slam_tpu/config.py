@@ -96,6 +96,9 @@ class DetectionConfig:
     # measured on the room-orbit bench this IMPROVES ATE 17.7 -> 16.3 mm while
     # the short backward pass (optical_flow_backward_depth) pays for itself.
     optical_flow_roundtrip_px: float = 3.0
+    # LK convergence epsilon in px (reference: TermCriteria eps 0.03,
+    # keypoint_detection.cpp:284-285)
+    optical_flow_eps_px: float = 0.03
     optical_flow_pyramid_depth: int = 4
     # Window side for pyramid levels >= 1.  53 = reference behavior (cv
     # reuses the full winSize at every level).  A smaller coarse window was

@@ -319,7 +319,8 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         bwd_levels=(None
                     if det_cfg.optical_flow_backward_depth >= levels
                     else det_cfg.optical_flow_backward_depth),
-        coarse_win=det_cfg.optical_flow_coarse_window_px)
+        coarse_win=det_cfg.optical_flow_coarse_window_px,
+        eps=det_cfg.optical_flow_eps_px)
     of_ok_t = of_ok_t & state.tracked_ok & (state.frame_idx > 0)
     # scatter tracked-row results back to map slots
     t_idx = jnp.where(of_ok_t & (state.tracked_map_idx >= 0),

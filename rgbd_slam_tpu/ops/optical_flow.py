@@ -148,13 +148,14 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
 
 @partial(jax.jit, static_argnames=("max_roundtrip_px", "levels", "win_h",
                                    "win_w", "iterations", "use_pallas",
-                                   "bwd_levels", "coarse_win"))
+                                   "bwd_levels", "coarse_win", "eps"))
 def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
                            max_roundtrip_px: float = 30.0,
                            levels: int = 4, win_h: int = 53, win_w: int = 53,
                            iterations: int = 10, use_pallas: bool | None = None,
                            bwd_levels: int | None = None,
-                           coarse_win: int | None = None):
+                           coarse_win: int | None = None,
+                           eps: float = 0.03):
     """Forward LK + backward validation (reference: get_keypoints_from_optical_flow,
     keypoint_detection.cpp:262-361): forward track, border filter, backward track,
     reject when the round trip exceeds ``max_roundtrip_px`` (matchSearchRadius).
@@ -174,7 +175,7 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
             list(prev_pyramid), list(next_pyramid), points, points_valid,
             levels=levels, win_h=win_h, win_w=win_w, iterations=iterations,
             batch=4, max_roundtrip=float(max_roundtrip_px),
-            bwd_levels=bwd_levels, coarse_win=coarse_win)
+            bwd_levels=bwd_levels, coarse_win=coarse_win, eps=eps)
         h, w = prev_pyramid[0].shape
         status = ok & in_border(fwd, h, w, margin=1.0) \
             & jnp.all(jnp.isfinite(fwd), axis=-1)
@@ -183,19 +184,19 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
     fwd, fwd_ok = lk_track(prev_pyramid, next_pyramid, points, points_valid,
                            levels=levels, win_h=win_h, win_w=win_w,
                            iterations=iterations, use_pallas=use_pallas,
-                           coarse_win=coarse_win)
+                           coarse_win=coarse_win, eps=eps)
     if bwd_levels is not None and bwd_levels < levels:
         # short backward validation: fewer levels, zero-seeded (same
         # semantics as the Pallas kernel's bwd_levels path)
         bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
                                levels=bwd_levels, win_h=win_h, win_w=win_w,
                                iterations=iterations, use_pallas=use_pallas,
-                               coarse_win=coarse_win)
+                               coarse_win=coarse_win, eps=eps)
     else:
         bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
                                levels=levels, win_h=win_h, win_w=win_w,
                                iterations=iterations, use_pallas=use_pallas,
-                               coarse_win=coarse_win)
+                               coarse_win=coarse_win, eps=eps)
     roundtrip = jnp.linalg.norm(points - bwd, axis=-1)
     status = fwd_ok & bwd_ok & (roundtrip <= max_roundtrip_px)
     return jnp.where(status[:, None], fwd, points), status
