@@ -200,6 +200,10 @@ class MappingConfig:
     # LK-tracked subset cap: optical flow cost is linear in tracked points; the
     # reference caps detections at 100/frame and tracks visible map points
     max_tracked_points: int = 128
+    # per-frame cap on matched planes that get the O(V^2) polygon merge
+    # (params/cov still update past it); overflow is counted in
+    # StepOutput.n_plane_merge_dropped — no silent caps
+    plane_merge_cap: int = 8
 
 
 @dataclass(frozen=True)
@@ -222,6 +226,11 @@ class EngineConfig:
     p3p_hypothesis_batch: int = 16    # closed-form P3P minimal-subset hypotheses
                                       # added to the pool (north-star batched P3P;
                                       # up to 4 candidate poses per subset)
+    # Constant-velocity pose prediction for the matching gates + LM init.
+    # Default OFF for parity: the reference implements the model but disables
+    # it in the main loop (`#if 0`, rgbd_slam.cpp:176-180).  Worth enabling on
+    # occlusion-heavy sequences (bench ablation: ate_hard leg).
+    use_motion_model_prediction: bool = False
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,8 @@ class StepOutput(NamedTuple):
     n_line_matches: jnp.ndarray    # map lines matched+inlier this frame
     n_lines_alive: jnp.ndarray     # live line-map features
     n_cylinders: jnp.ndarray       # detected cylinder sub-segments this frame
+    n_plane_merge_dropped: jnp.ndarray  # matched planes past the polygon-merge
+                                        # cap this frame (kept stale polygons)
     cylinder_cells: jnp.ndarray    # [C] union of cylinder inlier cell masks
     # per-slot observation record for the keyframe/BA backend
     point_obs_uv: jnp.ndarray   # [M3, 2] matched screen observation
@@ -296,9 +298,15 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
 
     key, k_drop, k_opt = jax.random.split(state.key, 3)
 
-    # --- predicted pose: motion model is disabled in the reference main loop
-    # (rgbd_slam.cpp:176-180) -> prediction = current pose
-    pred_quat, pred_pos = state.quat, state.position
+    # --- predicted pose: the reference implements the motion model but disables
+    # it in the main loop (`#if 0`, rgbd_slam.cpp:176-180) -> default prediction
+    # = current pose; the config flag restores constant-velocity prediction for
+    # the matching gates + LM init (useful under occlusion bursts)
+    if cfg.engine.use_motion_model_prediction:
+        pred_quat, pred_pos = motion_model.predict_pose(
+            state.motion, state.quat, state.position)
+    else:
+        pred_quat, pred_pos = state.quat, state.position
     w2c = se3.world_to_camera(pred_quat, pred_pos)
     c2w = se3.camera_to_world(pred_quat, pred_pos)
 
@@ -542,7 +550,13 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
                                  ransac_cfg=cfg.ransac, engine_cfg=cfg.engine)
 
     first_frame = state.frame_idx == 0
-    success = opt.success & ~first_frame
+    # live covariance-validity gate (reference: rgbd_slam.cpp:167-171 hard-fails
+    # on an invalid pose covariance every frame): an indefinite/NaN covariance
+    # or non-finite pose marks the frame failed instead of propagating silently
+    pose_ok = (cov_mod.is_covariance_valid_fast(opt.covariance)
+               & jnp.all(jnp.isfinite(opt.quat))
+               & jnp.all(jnp.isfinite(opt.position)))
+    success = opt.success & pose_ok & ~first_frame
 
     new_quat = jnp.where(success, opt.quat, pred_quat)
     new_pos = jnp.where(success, opt.position, pred_pos)
@@ -594,6 +608,12 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         mode="drop")
     upd_pos, upd_cov, _, moving = kalman.track_points(
         pts.pos[midx], pts.cov[midx], obs_world, obs_cov)
+    # per-feature covariance gate (point_with_tracking.cpp:43 hard-fails on an
+    # invalid fused covariance): rows whose KF output is invalid keep their
+    # previous state instead of absorbing the observation
+    kf_ok = (cov_mod.is_covariance_valid_fast(upd_cov)
+             & jnp.all(jnp.isfinite(upd_pos), axis=-1))
+    mkeep = mkeep & kf_ok
     match_c = p_match_idx[midx]
     desc_upd = mkeep & ~of_ok[midx] & (match_c >= 0)
     desc_c = det_desc[jnp.clip(match_c, 0, det_desc.shape[0] - 1)]
@@ -655,7 +675,9 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         upd_params, upd_pcov = kalman.track_planes(
             pl.params, pl.cov, obs_world_planes, obs_plane_cov)
         upd_params = planes_geo.normalize_plane(upd_params)
-        do_k = (k_final & maps.alive(pl))[:, None]
+        plane_kf_ok = (cov_mod.is_covariance_valid_fast(upd_pcov)
+                       & jnp.all(jnp.isfinite(upd_params), axis=-1))
+        do_k = (k_final & maps.alive(pl) & plane_kf_ok)[:, None]
 
         # polygon merge in the map plane's basis — compacted to the few
         # matched planes (a handful per frame) instead of vmapping the
@@ -677,7 +699,12 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
                 pl.poly_verts[mi], pl.poly_count[mi],
                 verts2, det_planes.poly_count[safe_k[mi]])
 
-        kidx, kkeep = _compact_mask(do_k[:, 0], 8)
+        merge_cap = min(cfg.mapping.plane_merge_cap, mp)
+        kidx, kkeep = _compact_mask(do_k[:, 0], merge_cap)
+        # no silent caps: matched planes beyond the merge cap keep a stale
+        # polygon this frame (params/cov still update); count them
+        n_merge_dropped = jnp.maximum(
+            jnp.sum(do_k[:, 0].astype(jnp.int32)) - merge_cap, 0)
         mverts_c, mcounts_c = jax.vmap(merge_poly)(kidx)
         # unfilled compact rows scatter out of bounds (dropped) — a 0-default
         # index would otherwise race a real merge into slot 0
@@ -692,6 +719,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         )
     else:
         new_planes = pl
+        n_merge_dropped = jnp.asarray(0, jnp.int32)
 
     # --- lifecycle ---------------------------------------------------------
     # staged confidence = matches / point_staged_age_confidence, promote when
@@ -981,6 +1009,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
         n_line_matches=jnp.sum(l_final),
         n_lines_alive=jnp.sum(maps.alive(new_lines)),
         n_cylinders=n_cylinders,
+        n_plane_merge_dropped=n_merge_dropped,
         cylinder_cells=cylinder_cells,
         point_obs_uv=p_obs_uv,
         point_obs_z=jnp.where(p_obs_depth_ok, p_obs_z, 0.0),

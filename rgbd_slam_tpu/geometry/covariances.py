@@ -31,6 +31,32 @@ def propagate_covariance(cov, jacobian, eps=0.0):
     return out
 
 
+def is_covariance_valid_fast(cov, atol=1e-5):
+    """Hot-path covariance validity: finite, symmetric, positive-definite via
+    Cholesky (NaN factor <=> not PD) — the jit analogue of the reference's
+    LDLT-based isCovarianceValid hard-fail (covariances.hpp:13-50,
+    rgbd_slam.cpp:167-171).  Batched; much cheaper than eigvalsh on TPU."""
+    sym_t = jnp.swapaxes(cov, -1, -2)
+    finite = jnp.all(jnp.isfinite(cov), axis=(-2, -1))
+    scale = jnp.maximum(jnp.max(jnp.abs(cov), axis=(-2, -1)), 1.0)
+    sym = jnp.max(jnp.abs(cov - sym_t), axis=(-2, -1)) < atol * scale
+    n = cov.shape[-1]
+    s = 0.5 * (cov + sym_t) + atol * jnp.eye(n, dtype=cov.dtype)
+    if n == 3:
+        # Sylvester's criterion in closed form: pure vector math, fuses into
+        # the surrounding KF update instead of a batched Cholesky kernel
+        a, b, c = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+        d, e, f = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+        m1 = a
+        m2 = a * d - b * b
+        m3 = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+        pd = (m1 > 0) & (m2 > 0) & (m3 > 0)
+    else:
+        chol = jnp.linalg.cholesky(s)
+        pd = jnp.all(jnp.isfinite(chol), axis=(-2, -1))
+    return finite & sym & pd
+
+
 def is_covariance_valid(cov, atol=1e-5):
     """Symmetry + positive-semi-definiteness check (reference: covariances.hpp:13-50).
     Uses eigvalsh rather than LDLT; batched, returns a bool mask."""

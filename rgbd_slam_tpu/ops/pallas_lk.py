@@ -296,10 +296,12 @@ def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
     get_keypoints_from_optical_flow, keypoint_detection.cpp:262-361).
 
     ``bwd_levels`` < ``levels`` runs the backward validation pass over fewer
-    pyramid levels, seeded with the NEGATED forward flow — the round-trip
-    gate's question ("does this track return home?") is asked at full
-    resolution directly instead of re-deriving the coarse initialization the
-    forward pass already produced.  Documented deviation from the reference
+    pyramid levels, ZERO-seeded from ``bwd_levels`` down (negated-forward-flow
+    seeding was measured and rejected as biased: it pre-answers the round-trip
+    question) — the gate's question ("does this track return home?") is asked
+    at full resolution directly instead of re-deriving the coarse
+    initialization the forward pass already produced.  Documented deviation
+    from the reference
     (which makes a second full-pyramid cv call, keypoint_detection.cpp:329):
     gate semantics are preserved, downstream RANSAC still catches any
     association this lets through, and the bench ATE is the acceptance test."""

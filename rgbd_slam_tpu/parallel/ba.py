@@ -108,7 +108,10 @@ def _ba_blocks(poses, landmarks, obs_kf, obs_uv, obs_mask,
         r = rf(pose6, lm)
         jp = jax.jacfwd(rf, argnums=0)(pose6, lm)   # [3, 6]
         jl = jax.jacfwd(rf, argnums=1)(pose6, lm)   # [3, 3]
-        rn = jnp.linalg.norm(r[:2])
+        # robust norm over ALL rows: the depth row is already in px-equivalent
+        # sigma units (zw = 1/sigma_z), so one bad depth sample (occlusion
+        # boundary) is down-weighted exactly like a bad pixel match
+        rn = jnp.linalg.norm(r)
         hub = jnp.sqrt(HUBER_PX / jnp.maximum(rn, HUBER_PX))
         m = ok.astype(r.dtype) * hub
         return r * m, jp * m, jl * m

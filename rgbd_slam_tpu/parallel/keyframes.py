@@ -66,6 +66,7 @@ class KeyframeWindow:
             self.max_obs_per_landmark = self.max_keyframes
         self._solver = None
         self._sharded_solver = None
+        self._sharded_axis = None
 
     def add_keyframe(self, quat, position, output, point_positions, timestamp=0.0,
                      frame_id=None):
@@ -167,9 +168,12 @@ class KeyframeWindow:
         across refine() calls)."""
         if mesh is not None:
             if self._sharded_solver is None:
+                # shard over the mesh's first axis, whatever it is called —
+                # refine() reuses the recorded name for its device_put specs
+                self._sharded_axis = mesh.axis_names[0]
                 self._sharded_solver = ba.make_sharded_ba(
                     mesh, cam, n_keyframes=self.max_keyframes,
-                    iterations=iterations, anchored=True,
+                    iterations=iterations, anchored=True, axis=self._sharded_axis,
                     anchor_weights=self.anchor_weights, with_depth=True)
             return self._sharded_solver
         if self._solver is None:
@@ -200,7 +204,7 @@ class KeyframeWindow:
         fn = self._get_solver(cam, iterations, mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(mesh, P("lm"))
+            sh = NamedSharding(mesh, P(self._sharded_axis))
             landmarks, obs_kf, obs_uv, obs_z, obs_mask = (
                 jax.device_put(a, sh)
                 for a in (landmarks, obs_kf, obs_uv, obs_z, obs_mask))

@@ -33,6 +33,21 @@ def reset(dtype=jnp.float32) -> MotionModelState:
     )
 
 
+def predict_pose(state: MotionModelState, quat, position):
+    """Prediction only, no state update: apply the stored constant-velocity
+    estimate to the given pose (the first half of Motion_Model::predict_next_pose,
+    motion_model.cpp:29-46).  Identity prediction until the model is set."""
+    dt = position.dtype
+    pred_position = jnp.where(state.is_set, position + state.linear_velocity,
+                              position)
+    pred_quat = jnp.where(
+        state.is_set,
+        se3.quat_normalize(se3.quat_multiply(quat, state.angular_velocity)),
+        quat,
+    )
+    return pred_quat, pred_position
+
+
 def predict_next_pose(state: MotionModelState, quat, position,
                       should_increase_variance: bool = False):
     """Predict the next pose and update the model (reference:

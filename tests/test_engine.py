@@ -391,3 +391,47 @@ class TestLostAndRecovery:
         assert err < 25.0, f"post-recovery drift {err:.1f} mm"
         # the re-seeded map repopulated
         assert flags[-1][2] > 30
+
+
+class TestCovarianceGating:
+    """Live covariance-validity gating (reference: rgbd_slam.cpp:167-171 +
+    point_with_tracking.cpp:43 hard-fail on invalid covariances; here the jit
+    analogue marks the frame failed / rejects the fusion instead of letting a
+    NaN or indefinite covariance propagate silently)."""
+
+    def test_nan_map_points_fail_cleanly(self):
+        quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        state = engine.init_state(CAM, CFG)
+        for i in range(3):
+            g, d = render(quat, jnp.asarray([0.0, 4.0 * i, 0.0], jnp.float32))
+            state, out = engine.step(state, g, d, CAM, CFG)
+        assert bool(out.success)
+        # poison every alive landmark: the matched feature set feeding RANSAC
+        # becomes degenerate and the LM solve goes non-finite
+        state = state._replace(points=state.points._replace(
+            pos=jnp.where(maps.alive(state.points)[:, None], jnp.nan,
+                          state.points.pos)))
+        prev_pos = np.asarray(state.position)
+        g, d = render(quat, jnp.asarray([0.0, 12.0, 0.0], jnp.float32))
+        state, out = engine.step(state, g, d, CAM, CFG)
+        # clean failure frame: no NaN pose, success off, pose held
+        assert not bool(out.success)
+        assert np.isfinite(np.asarray(out.position)).all()
+        assert np.isfinite(np.asarray(out.quat)).all()
+        assert np.isfinite(np.asarray(out.pose_cov)).all()
+        np.testing.assert_allclose(np.asarray(out.position), prev_pos)
+
+    def test_indefinite_pose_cov_blocks_point_fusion(self):
+        """A poisoned pose covariance propagates into the per-observation world
+        covariances; the per-feature KF gate must keep the map finite."""
+        quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        state = engine.init_state(CAM, CFG)
+        for i in range(3):
+            g, d = render(quat, jnp.asarray([0.0, 4.0 * i, 0.0], jnp.float32))
+            state, out = engine.step(state, g, d, CAM, CFG)
+        state = state._replace(
+            pose_cov=jnp.full((6, 6), jnp.nan, jnp.float32))
+        g, d = render(quat, jnp.asarray([0.0, 12.0, 0.0], jnp.float32))
+        state, out = engine.step(state, g, d, CAM, CFG)
+        assert np.isfinite(np.asarray(state.points.pos)).all()
+        assert np.isfinite(np.asarray(state.points.cov)).all()

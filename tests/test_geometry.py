@@ -292,3 +292,31 @@ class TestEig3:
         vals, vec = sym_eig3_smallest(a)
         np.testing.assert_allclose(np.asarray(vals)[0], [2.5, 2.5, 2.5], atol=1e-6)
         assert np.isfinite(np.asarray(vec)).all()
+
+
+class TestCovarianceValidFast:
+    """Hot-path validity check agrees with the eigvalsh-based reference check
+    on valid, indefinite, asymmetric and non-finite inputs."""
+
+    def test_agrees_with_reference_check(self, rng):
+        from rgbd_slam_tpu.geometry import covariances
+        a = rng.normal(size=(32, 3, 3)).astype(np.float32)
+        spd = a @ np.swapaxes(a, -1, -2) + 0.1 * np.eye(3, dtype=np.float32)
+        assert np.asarray(
+            covariances.is_covariance_valid_fast(jnp.asarray(spd))).all()
+        bad = spd.copy()
+        bad[0] -= 10.0 * np.eye(3, dtype=np.float32)   # indefinite
+        bad[1, 0, 1] += 5.0                            # asymmetric
+        bad[2, 2, 2] = np.nan                          # non-finite
+        got = np.asarray(covariances.is_covariance_valid_fast(jnp.asarray(bad)))
+        assert not got[0] and not got[1] and not got[2]
+        assert got[3:].all()
+
+    def test_6x6_cholesky_path(self):
+        from rgbd_slam_tpu.geometry import covariances
+        good = np.eye(6, dtype=np.float32) * 1e-3
+        assert bool(covariances.is_covariance_valid_fast(jnp.asarray(good)))
+        assert not bool(covariances.is_covariance_valid_fast(
+            jnp.asarray(-good)))
+        assert not bool(covariances.is_covariance_valid_fast(
+            jnp.full((6, 6), np.nan, np.float32)))
