@@ -77,14 +77,14 @@ _STAGE_OF_MODULE = {
 def render_frames(cam):
     scene = RoomScene(cam, depth_noise=DepthNoiseModel())
     poses = orbit_trajectory(N_FRAMES, speed_mm=4.0)
-    frames = [scene.render(q, p) for q, p in poses]
+    # staged: all legs run on device-resident frames (the tunnel's per-frame
+    # upload latency would otherwise dominate every runner-based leg)
+    frames = runner.stage_frames([scene.render(q, p) for q, p in poses])
     gt_pos = np.stack([p for _, p in poses]).astype(np.float64)
     return frames, gt_pos
 
 
-def bench_throughput(frames, gt_pos, cam, cfg):
-    frames_dev = [(jax.device_put(jnp.asarray(g)), jax.device_put(jnp.asarray(d)))
-                  for g, d in frames]
+def bench_throughput(frames_dev, gt_pos, cam, cfg):
     # donate the state: XLA aliases the input/output map buffers, removing the
     # per-frame state copies the non-donating call pays
     step_d = jax.jit(lambda s, g, d: engine.step(s, g, d, cam, cfg),
@@ -161,7 +161,7 @@ def bench_hard(cam, cfg):
     texture) with live BA — the adversarial ATE (VERDICT r3 weak #4)."""
     scene = HardRoomScene(cam, depth_noise=DepthNoiseModel())
     poses = orbit_trajectory(N_HARD_FRAMES, speed_mm=4.0)
-    frames = [scene.render(q, p) for q, p in poses]
+    frames = runner.stage_frames([scene.render(q, p) for q, p in poses])
     gt = np.stack([p for _, p in poses]).astype(np.float64)
     _, traj, stats = runner.run_frames(frames, cam, cfg, with_planes=True,
                                        ba_every=8)
@@ -198,7 +198,7 @@ def bench_tunnel(cam, cfg):
     scenes."""
     scene = TunnelScene(cam)
     poses = tunnel_trajectory(N_TUNNEL_FRAMES)
-    frames = [scene.render(q, p) for q, p in poses]
+    frames = runner.stage_frames([scene.render(q, p) for q, p in poses])
     gt = np.stack([p for _, p in poses]).astype(np.float64)
     _, traj_off, _ = runner.run_frames(frames, cam, cfg, with_planes=True)
     off = runner.evaluate_against_ground_truth(traj_off, gt)["ate_rmse_mm"]

@@ -32,7 +32,16 @@ from . import ba
 # batched pose-coefficient conversions: one device dispatch per refine instead of K
 _coeffs_to_poses = jax.jit(jax.vmap(se3.coefficients_to_pose))
 _poses_to_coeffs = jax.jit(jax.vmap(se3.pose_to_coefficients))
-_pose_to_coeffs1 = jax.jit(se3.pose_to_coefficients)
+
+
+def _np_pose_to_coeffs(quat, position):
+    """Host mirror of se3.pose_to_coefficients: per-keyframe bookkeeping must
+    not touch the device (an eager dispatch + fetch through the TPU tunnel
+    costs ~100 ms; this is four multiplies)."""
+    q = np.asarray(quat, np.float64)
+    p = np.asarray(position, np.float64)
+    return np.concatenate(
+        [p, q[:3] / max(1.0 + q[3], 1e-3)]).astype(np.float32)
 
 
 @dataclass
@@ -67,6 +76,7 @@ class KeyframeWindow:
         self._solver = None
         self._sharded_solver = None
         self._sharded_axis = None
+        self._lm_host = None
 
     def add_keyframe(self, quat, position, output, point_positions, timestamp=0.0,
                      frame_id=None):
@@ -74,17 +84,6 @@ class KeyframeWindow:
 
         point_positions: the map's current world positions aligned with the output's
         per-slot record (state.points.pos)."""
-        # slide BEFORE inserting: otherwise a landmark observed in every live
-        # keyframe hits the C cap with the NEW observation while the oldest one is
-        # about to be evicted anyway (silent-cap bug caught by the drop counters)
-        if len(self.poses) + 1 > self.max_keyframes:
-            self._drop_oldest()
-        kf_idx = len(self.poses)
-        self.poses.append(np.asarray(_pose_to_coeffs1(
-            jnp.asarray(quat, jnp.float32), jnp.asarray(position, jnp.float32))))
-        self.timestamps.append(float(timestamp))
-        self.frame_ids.append(kf_idx if frame_id is None else int(frame_id))
-
         matched = np.asarray(output.point_matched)
         fids = np.asarray(output.point_fid)
         uvs = np.asarray(output.point_obs_uv)
@@ -92,6 +91,30 @@ class KeyframeWindow:
               if hasattr(output, "point_obs_z")
               else np.zeros(len(fids), np.float32))
         pos = np.asarray(point_positions)
+        self._add(quat, position, matched, fids, uvs, zs, pos, timestamp,
+                  frame_id)
+
+    def add_keyframe_packed(self, quat, position, fobs, fids, timestamp=0.0,
+                            frame_id=None):
+        """Record a keyframe from :func:`runner._pack_keyframe_obs` output —
+        the tunnel-friendly path (two host fetches instead of five)."""
+        fobs = np.asarray(fobs)
+        fids = np.asarray(fids)
+        self._add(quat, position, fobs[:, 0] > 0.5, fids, fobs[:, 1:3],
+                  fobs[:, 3], fobs[:, 4:7], timestamp, frame_id)
+
+    def _add(self, quat, position, matched, fids, uvs, zs, pos, timestamp,
+             frame_id):
+        # slide BEFORE inserting: otherwise a landmark observed in every live
+        # keyframe hits the C cap with the NEW observation while the oldest one is
+        # about to be evicted anyway (silent-cap bug caught by the drop counters)
+        if len(self.poses) + 1 > self.max_keyframes:
+            self._drop_oldest()
+        kf_idx = len(self.poses)
+        self.poses.append(_np_pose_to_coeffs(quat, position))
+        self.timestamps.append(float(timestamp))
+        self.frame_ids.append(kf_idx if frame_id is None else int(frame_id))
+
         for i in np.nonzero(matched & (fids >= 0))[0]:
             fid = int(fids[i])
             entry = self.obs.setdefault(fid, [])
@@ -159,8 +182,9 @@ class KeyframeWindow:
                 obs_mask[i, j] = True
         poses = np.zeros((k, 6), np.float32)
         poses[: self.n_keyframes] = np.stack(self.poses).astype(np.float32)
-        return (jnp.asarray(poses), jnp.asarray(landmarks), jnp.asarray(obs_kf),
-                jnp.asarray(obs_uv), jnp.asarray(obs_z), jnp.asarray(obs_mask),
+        # host arrays: the local solve path packs them into TWO device
+        # transfers (see refine); the sharded path device_puts them per-spec
+        return (poses, landmarks, obs_kf, obs_uv, obs_z, obs_mask,
                 fids, slots, lm_valid)
 
     def _get_solver(self, cam: CameraIntrinsics, iterations: int, mesh):
@@ -178,12 +202,46 @@ class KeyframeWindow:
             return self._sharded_solver
         if self._solver is None:
             weights = self.anchor_weights
+            k = self.max_keyframes
+            l = self.max_landmarks
+            c = self.max_obs_per_landmark
 
             @jax.jit
-            def solve(poses, landmarks, obs_kf, obs_uv, obs_mask, obs_z):
-                return ba.ba_solve(poses, landmarks, obs_kf, obs_uv, obs_mask,
-                                   cam, iterations=iterations, anchored=True,
-                                   anchor_weights=weights, obs_z=obs_z)
+            def solve(fbuf, ibuf):
+                """Packed local solve: the whole problem arrives as ONE f32 +
+                ONE i32 buffer and the result leaves as ONE f32 buffer (+ the
+                landmark block, which stays on device for the map scatter) —
+                tunnel transfers have ~100 ms latency each, so refine() pays
+                exactly 2 uploads + 1 fetch instead of ~9."""
+                o = [0]
+
+                def take(n, shape):
+                    a = jax.lax.dynamic_slice(fbuf, (o[0],), (n,))
+                    o[0] += n
+                    return a.reshape(shape)
+
+                poses = take(k * 6, (k, 6))
+                landmarks = take(l * 3, (l, 3))
+                obs_uv = take(l * c * 2, (l, c, 2))
+                obs_z = take(l * c, (l, c))
+                obs_mask = take(l * c, (l, c)) > 0.5
+                lm_valid = take(l, (l,)) > 0.5
+                obs_kf = ibuf[: l * c].reshape(l, c)
+                slots = ibuf[l * c: l * c + l]
+                fids_dev = ibuf[l * c + l:]
+                new_poses, new_lm, costs = ba.ba_solve(
+                    poses, landmarks, obs_kf, obs_uv, obs_mask, cam,
+                    iterations=iterations, anchored=True,
+                    anchor_weights=weights, obs_z=obs_z)
+                quats, positions = jax.vmap(se3.coefficients_to_pose)(new_poses)
+                # the refined landmarks + validity ride along in the single
+                # fetch so apply_refinement never re-fetches them
+                out = jnp.concatenate([quats.reshape(-1),
+                                       positions.reshape(-1),
+                                       costs.reshape(-1),
+                                       new_lm.reshape(-1),
+                                       lm_valid.astype(jnp.float32)])
+                return out, new_lm, slots, lm_valid, fids_dev
 
             self._solver = solve
         return self._solver
@@ -208,14 +266,34 @@ class KeyframeWindow:
             landmarks, obs_kf, obs_uv, obs_z, obs_mask = (
                 jax.device_put(a, sh)
                 for a in (landmarks, obs_kf, obs_uv, obs_z, obs_mask))
-        new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv,
-                                      obs_mask, obs_z)
-
-        quats, positions = _coeffs_to_poses(new_poses)
-        quats, positions = np.asarray(quats), np.asarray(positions)
+            new_poses, new_lm, costs = fn(poses, landmarks, obs_kf, obs_uv,
+                                          obs_mask, obs_z)
+            quats, positions = _coeffs_to_poses(new_poses)
+            quats, positions = np.asarray(quats), np.asarray(positions)
+            costs = np.asarray(costs)
+            device_lm = (fids, jnp.asarray(slots), new_lm,
+                         jnp.asarray(lm_valid))
+        else:
+            fbuf = np.concatenate([
+                poses.reshape(-1), landmarks.reshape(-1), obs_uv.reshape(-1),
+                obs_z.reshape(-1), obs_mask.astype(np.float32).reshape(-1),
+                lm_valid.astype(np.float32)])
+            ibuf = np.concatenate([obs_kf.reshape(-1), slots,
+                                   fids.astype(np.int32)])
+            out, new_lm, slots_dev, lm_valid_dev, fids_dev = fn(
+                jnp.asarray(fbuf), jnp.asarray(ibuf))
+            out = np.asarray(out)
+            k = self.max_keyframes
+            l = self.max_landmarks
+            quats = out[: k * 4].reshape(k, 4)
+            positions = out[k * 4: k * 7].reshape(k, 3)
+            costs = out[k * 7: k * 7 + iterations]
+            lm_host = out[k * 7 + iterations: k * 7 + iterations + l * 3]
+            self._lm_host = (fids, lm_host.reshape(l, 3),
+                             out[k * 7 + iterations + l * 3:] > 0.5)
+            device_lm = (fids, slots_dev, new_lm, lm_valid_dev, fids_dev)
         refined = [(quats[i], positions[i]) for i in range(self.n_keyframes)]
-        device_lm = (fids, jnp.asarray(slots), new_lm, jnp.asarray(lm_valid))
-        return refined, device_lm, np.asarray(costs)
+        return refined, device_lm, costs
 
     def apply_refinement(self, refined, device_lm=None):
         """Write refined poses back into the window so the next refine starts from
@@ -223,14 +301,15 @@ class KeyframeWindow:
         as an empty TODO, local_map.hpp:263-266).  Landmark positions refresh
         themselves on the next add_keyframe from the (scattered-back) live map, so
         only landmarks that already left the map need the device_lm update here."""
-        quats = jnp.asarray(np.stack([q for q, _ in refined]), jnp.float32)
-        positions = jnp.asarray(np.stack([p for _, p in refined]), jnp.float32)
-        coeffs = np.asarray(_poses_to_coeffs(quats, positions))
-        self.poses = [coeffs[i] for i in range(len(refined))]
+        self.poses = [_np_pose_to_coeffs(q, p) for q, p in refined]
         if device_lm is not None:
-            fids, _slots, new_lm, lm_valid = device_lm
-            lm_host = np.asarray(new_lm)
-            valid_host = np.asarray(lm_valid)
+            fids, _slots, new_lm, lm_valid = device_lm[:4]
+            cached = getattr(self, "_lm_host", None)
+            if cached is not None and cached[0] is fids:
+                _, lm_host, valid_host = cached   # rode along in refine's fetch
+            else:
+                lm_host = np.asarray(new_lm)
+                valid_host = np.asarray(lm_valid)
             for i in range(len(fids)):
                 if valid_host[i] and int(fids[i]) in self.landmark_pos:
                     self.landmark_pos[int(fids[i])] = lm_host[i]

@@ -139,19 +139,31 @@ def solve_pose_graph(poses, edge_i, edge_j, edge_meas, edge_w,
     int32, edge_meas [E, 6] measured relative coefficients, edge_w [E] weights
     (0 = padding).  Returns (refined poses [N, 6], costs [iterations])."""
     n = poses.shape[0]
+    e = edge_i.shape[0]
     dt = poses.dtype
+    # node assignment one-hots: every gather/scatter in the GN below becomes a
+    # contraction (MXU matmuls) instead of a segment-sum scatter
+    onei = jax.nn.one_hot(edge_i, n, dtype=dt)          # [E, N]
+    onej = jax.nn.one_hot(edge_j, n, dtype=dt)
 
     def body(p, _):
-        flat = p.reshape(-1)
+        # edge-local residuals + jacobians: jacfwd runs over the TWO incident
+        # poses (12 tangents), not the flat [6N] vector — a ~N/2x cut in
+        # autodiff work and compile size vs the naive whole-graph jacobian
+        def edge_r(ci, cj, m, w):
+            return _edge_residual(ci, cj, m, w)
 
-        def rfn(flat_p):
-            return _graph_residuals(flat_p.reshape(n, 6), edge_i, edge_j,
-                                    edge_meas, edge_w).reshape(-1)
-
-        r = rfn(flat)
-        jt = jax.jacfwd(rfn)(flat)                      # [E*6, N*6]
-        h = jt.T @ jt
-        g = jt.T @ r
+        ci = p[edge_i]
+        cj = p[edge_j]
+        r = jax.vmap(edge_r)(ci, cj, edge_meas, edge_w)             # [E, 6]
+        ji = jax.vmap(jax.jacfwd(edge_r, 0))(ci, cj, edge_meas, edge_w)
+        jj = jax.vmap(jax.jacfwd(edge_r, 1))(ci, cj, edge_meas, edge_w)
+        # dense jacobian [E*6, N*6] assembled by one-hot outer products, then
+        # H = J^T J and g = J^T r as two MXU matmuls
+        bigj = (jnp.einsum("en,erc->ernc", onei, ji)
+                + jnp.einsum("en,erc->ernc", onej, jj)).reshape(e * 6, n * 6)
+        h = bigj.T @ bigj
+        g = bigj.T @ r.reshape(-1)
         # gauge: freeze node 0
         fix = jnp.arange(n * 6) < 6
         h = jnp.where(fix[:, None] | fix[None, :], jnp.eye(n * 6, dtype=dt), h)
@@ -163,6 +175,29 @@ def solve_pose_graph(poses, edge_i, edge_j, edge_meas, edge_w,
 
     refined, costs = jax.lax.scan(body, poses, None, length=iterations)
     return refined, costs
+
+
+@partial(jax.jit, static_argnames=("max_nodes", "max_edges", "iterations"))
+def _solve_packed(fbuf, ibuf, max_nodes: int, max_edges: int,
+                  iterations: int = 10):
+    """Tunnel-friendly wrapper around :func:`solve_pose_graph`: the whole
+    problem arrives as ONE f32 + ONE i32 array and the result leaves as ONE
+    f32 array (host transfers have ~100 ms latency each through the TPU
+    tunnel; the unpacked path costs ~9 of them per solve, this costs 3).
+    Quaternion<->coefficient conversions happen on device inside the same
+    program."""
+    n, e = max_nodes, max_edges
+    quats = fbuf[: n * 4].reshape(n, 4)
+    positions = fbuf[n * 4: n * 7].reshape(n, 3)
+    meas = fbuf[n * 7: n * 7 + e * 6].reshape(e, 6)
+    w = fbuf[n * 7 + e * 6:]
+    edge_i = ibuf[:e]
+    edge_j = ibuf[e:]
+    poses = jax.vmap(se3.pose_to_coefficients)(quats, positions)
+    refined, costs = solve_pose_graph(poses, edge_i, edge_j, meas, w,
+                                      iterations=iterations)
+    rq, rp = jax.vmap(se3.coefficients_to_pose)(refined)
+    return jnp.concatenate([rq.reshape(-1), rp.reshape(-1), costs])
 
 
 # ---------------------------------------------------------------------------
@@ -268,8 +303,6 @@ class PoseGraph:
         quats[:n] = np.stack(self.quats).astype(np.float32)
         positions = np.zeros((self.max_nodes, 3), np.float32)
         positions[:n] = np.stack(self.positions).astype(np.float32)
-        poses = np.asarray(_poses_to_coeffs(jnp.asarray(quats),
-                                            jnp.asarray(positions)))
 
         ei = np.zeros((self.max_edges,), np.int32)
         ej = np.zeros((self.max_edges,), np.int32)
@@ -278,12 +311,17 @@ class PoseGraph:
         for k, (a, b, m, ww) in enumerate(packed):
             ei[k], ej[k], meas[k], w[k] = a, b, m, ww
 
-        refined, costs = solve_pose_graph(
-            jnp.asarray(poses), jnp.asarray(ei), jnp.asarray(ej),
-            jnp.asarray(meas), jnp.asarray(w), iterations=iterations)
-        rq, rp = _coeffs_to_poses(refined)
-        rq, rp = np.asarray(rq), np.asarray(rp)
-        costs = np.asarray(costs)
+        # one upload pair, one jitted solve, one fetch (see _solve_packed)
+        fbuf = np.concatenate([quats.reshape(-1), positions.reshape(-1),
+                               meas.reshape(-1), w])
+        ibuf = np.concatenate([ei, ej])
+        out = np.asarray(_solve_packed(jnp.asarray(fbuf), jnp.asarray(ibuf),
+                                       self.max_nodes, self.max_edges,
+                                       iterations=iterations))
+        nn = self.max_nodes
+        rq = out[: nn * 4].reshape(nn, 4)
+        rp = out[nn * 4: nn * 7].reshape(nn, 3)
+        costs = out[nn * 7:]
         if not (np.isfinite(costs).all() and np.isfinite(rq[:n]).all()
                 and np.isfinite(rp[:n]).all()):
             return None

@@ -66,6 +66,70 @@ class RunStats:
                 f"fps={self.fps:.1f}")
 
 
+_index_frame = jax.jit(
+    lambda a, i: jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False))
+
+# Frames per batched summary fetch (see the pipelined loop in run_frames):
+# big enough to amortize the ~15-30 ms tunnel sync, small enough that
+# keyframe/BA decisions stay fresh relative to the default ba_every=8.
+SUMMARY_BATCH = 8
+_stack_summaries = jax.jit(lambda xs: jnp.stack(xs))
+
+
+def stage_frames(frames, chunk: int = 32):
+    """Upload a rendered (gray, depth[, ts]) sequence to the device in LARGE
+    batched transfers, returning per-frame device arrays.
+
+    Host->device transfers through the TPU tunnel have ~100-300 ms per-call
+    latency and only reach usable bandwidth above ~20 MB, so per-frame uploads
+    cap the whole pipeline at ~10 fps regardless of compute.  Stacking
+    ``chunk`` frames per transfer amortizes the latency (measured: 36 MB/s at
+    74 MB vs 0.1-5 MB/s per-frame); the per-frame views are carved out on
+    device by one reused jitted dynamic-slice.  On directly-attached hardware
+    this is ordinary input double-buffering."""
+    staged = []
+    for c0 in range(0, len(frames), chunk):
+        sub = frames[c0:c0 + chunk]
+        g = jax.device_put(np.stack([np.asarray(f[0], np.float32) for f in sub]))
+        d = jax.device_put(np.stack([np.asarray(f[1], np.float32) for f in sub]))
+        for i, f in enumerate(sub):
+            idx = np.int32(i)
+            staged.append((_index_frame(g, idx), _index_frame(d, idx))
+                          + tuple(f[2:]))
+    return staged
+
+
+@jax.jit
+def _pack_summary(out):
+    """One small device array with everything the frame loop reads every frame.
+
+    Through the TPU tunnel every host fetch is a ~ms round trip; fetching the
+    ~35-field StepOutput (or calling block_until_ready on it, which walks every
+    buffer) costs ~100 ms/frame — 30x the device step.  The loop fetches THIS
+    [12] vector once per frame instead and touches the full output only on
+    keyframes / evictions (measured: runner fps 11 -> ~250 on the same run)."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        out.position.astype(f32), out.quat.astype(f32),
+        jnp.stack([out.success.astype(f32), out.is_lost.astype(f32),
+                   out.n_evicted.astype(f32),
+                   out.n_plane_merge_dropped.astype(f32),
+                   out.n_point_inliers.astype(f32)])])
+
+
+@jax.jit
+def _pack_keyframe_obs(out, point_positions):
+    """Keyframe observation record as two arrays (one f32, one i32) so
+    KeyframeWindow.add_keyframe costs two tunnel fetches, not five."""
+    f32 = jnp.float32
+    fobs = jnp.concatenate([
+        out.point_matched.astype(f32)[:, None],
+        out.point_obs_uv.astype(f32),
+        out.point_obs_z.astype(f32)[:, None],
+        point_positions.astype(f32)], axis=-1)        # [M3, 7]
+    return fobs, out.point_fid
+
+
 @jax.jit
 def _scatter_kernel(points_pos, points_fid, slots, fids, new_lm, lm_valid):
     """Device-side fid-verified landmark scatter (no host round-trip of the map).
@@ -89,9 +153,12 @@ def _scatter_ba_landmarks(state: engine.SlamState,
     (local_map.hpp:263-266): the backend's refinement feeds the front end's map.
     Runs entirely on device (VERDICT r2 weak #5: the previous numpy dict walk
     pulled the whole map to host every BA run)."""
-    fids, slots, new_lm, lm_valid = device_lm
+    fids, slots, new_lm, lm_valid = device_lm[:4]
+    # the packed local solve path carries the fids on device already (one
+    # fewer tunnel upload); the sharded path falls back to uploading them
+    fids_dev = device_lm[4] if len(device_lm) > 4 else jnp.asarray(fids)
     new_pos = _scatter_kernel(state.points.pos, state.points.fid, slots,
-                              jnp.asarray(fids), new_lm, lm_valid)
+                              fids_dev, new_lm, lm_valid)
     return state._replace(points=state.points._replace(pos=new_pos))
 
 
@@ -207,6 +274,7 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
     graph = None
     last_kf_quat = None
     last_kf_pos = None
+    pending_kfs = []   # keyframe packs awaiting their (deferred) host fetch
     if ba_every:
         from .parallel.keyframes import KeyframeWindow
         window = KeyframeWindow(max_keyframes=ba_window,
@@ -215,35 +283,27 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
             from .parallel.pose_graph import PoseGraph
             graph = PoseGraph()
 
-    for i, frame in enumerate(frames):
-        if len(frame) == 3:
-            gray, depth, ts = frame
-        else:
-            gray, depth = frame
-            ts = float(i)
-        gray = jnp.asarray(gray, jnp.float32)
-        depth = jnp.asarray(depth, jnp.float32)
-        if rectify is not None:
-            depth = rectify(depth)
-
-        t0 = time.time()
-        state, out = engine.step(state, gray, depth, cam, cfg,
-                                 with_planes=with_planes,
-                                 with_lines=with_lines)
-        out = jax.block_until_ready(out)
-        dt = time.time() - t0
+    def _process(i, ts, frame_state, out, summary, dt):
+        """Consume one frame's summary: stats, trajectory, keyframe/BA, map
+        export.  ``frame_state`` is the state snapshot from the same step as
+        ``out`` (slot-aligned); the BA landmark scatter targets the LIVE state
+        (fid-guarded against slot reuse)."""
+        nonlocal state, last_kf_quat, last_kf_pos
+        pos_np = summary[0:3]
+        quat_np = summary[3:7]
+        success = summary[7] > 0.5
+        lost = summary[8] > 0.5
+        n_evicted = int(summary[9])
 
         stats.frame_count += 1
         stats.total_step_s += dt
         if i == 0:
             stats.compile_s = dt
-        stats.success_count += int(out.success)
-        stats.lost_count += int(out.is_lost)
-        traj.append(ts, np.asarray(out.position), np.asarray(out.quat))
+        stats.success_count += int(success)
+        stats.lost_count += int(lost)
+        traj.append(ts, pos_np, quat_np)
 
-        if window is not None and bool(out.success):
-            pos_np = np.asarray(out.position, np.float64)
-            quat_np = np.asarray(out.quat, np.float64)
+        if window is not None and success:
             is_kf = last_kf_quat is None
             if not is_kf:
                 trans_mm = float(np.linalg.norm(pos_np - last_kf_pos))
@@ -254,11 +314,25 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
             if is_kf:
                 stats.keyframe_count += 1
                 last_kf_quat, last_kf_pos = quat_np, pos_np
-                window.add_keyframe(out.quat, out.position, out,
-                                    state.points.pos, timestamp=ts, frame_id=i)
+                # dispatch the observation pack and start its host copy, but
+                # DRAIN it only when the window is actually needed (refine
+                # time): the ~100 ms tunnel fetch then overlaps frames of
+                # compute instead of stalling the keyframe's own frame
+                fobs, kf_fids = _pack_keyframe_obs(out, frame_state.points.pos)
+                for a in (fobs, kf_fids):
+                    try:
+                        a.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass
+                pending_kfs.append((quat_np, pos_np, fobs, kf_fids, ts, i))
                 if graph is not None:
                     graph.add_keyframe(i, quat_np, pos_np)
-            if window.n_keyframes >= 3 and (i + 1) % ba_every == 0:
+            if (window.n_keyframes + len(pending_kfs) >= 3
+                    and (i + 1) % ba_every == 0):
+                for (q_, p_, fo_, fi_, ts_, i_) in pending_kfs:
+                    window.add_keyframe_packed(q_, p_, fo_, fi_,
+                                               timestamp=ts_, frame_id=i_)
+                pending_kfs.clear()
                 t_ba = time.time()
                 res = window.refine(cam, iterations=ba_iterations, mesh=ba_mesh)
                 if res is not None:
@@ -296,11 +370,62 @@ def run_frames(frames, cam: CameraIntrinsics, cfg: SlamConfig,
                     stats.ba_dropped_landmarks = window.dropped_landmarks
                     stats.ba_dropped_obs = window.dropped_obs
 
-        if map_writer is not None and int(out.n_evicted) > 0:
+        if map_writer is not None and n_evicted > 0:
             append_dying_features(map_writer, out)
 
         if on_frame is not None:
-            on_frame(i, state, out, dt)
+            on_frame(i, frame_state, out, dt)
+
+    # The frame loop is PIPELINED ``SUMMARY_BATCH`` frames deep: per-frame
+    # summaries accumulate ON DEVICE and are fetched as one stacked array per
+    # batch.  A single small fetch through the TPU tunnel costs ~15-30 ms (it
+    # syncs with the in-flight step), which at ~3 ms/frame of compute would
+    # dominate the loop; one batched fetch amortizes that latency over the
+    # batch.  Keyframe/BA/export decisions therefore run up to a batch late —
+    # harmless (BA fires every ba_every frames anyway) and exactly the input
+    # double-buffering a directly-attached pipeline would use.
+    pending = []
+    t_prev = time.time()
+
+    def _drain():
+        nonlocal t_prev
+        if not pending:
+            return
+        batch = np.asarray(_stack_summaries([p[4] for p in pending]),
+                           np.float64)
+        now = time.time()
+        per_frame = (now - t_prev) / len(pending)
+        t_prev = now
+        for row, (pi, pts_, pstate, pout, _) in zip(batch, pending):
+            _process(pi, pts_, pstate, pout, row, per_frame)
+        pending.clear()
+
+    for i, frame in enumerate(frames):
+        if len(frame) == 3:
+            gray, depth, ts = frame
+        else:
+            gray, depth = frame
+            ts = float(i)
+        gray = jnp.asarray(gray, jnp.float32)
+        depth = jnp.asarray(depth, jnp.float32)
+        if rectify is not None:
+            depth = rectify(depth)
+
+        state, out = engine.step(state, gray, depth, cam, cfg,
+                                 with_planes=with_planes,
+                                 with_lines=with_lines)
+        summary_dev = _pack_summary(out)
+        if i == 0:
+            # synchronous first frame: the jit compile lands in compile_s
+            summary = np.asarray(summary_dev, np.float64)
+            now = time.time()
+            _process(0, ts, state, out, summary, now - t_prev)
+            t_prev = now
+            continue
+        pending.append((i, ts, state, out, summary_dev))
+        if len(pending) >= SUMMARY_BATCH:
+            _drain()
+    _drain()
 
     if map_writer is not None:
         from .io.map_writer import append_alive_features
