@@ -116,7 +116,11 @@ def _sample_slab(ref, x, y, h: int, w: int, lh: int, lw: int):
     """Bilinear [h, w] window with float top-left (x, y) from a VMEM image ref.
 
     Loads one (8-aligned sublane) x (128-aligned lane) slab covering the window
-    and rotates it into place — per-sample cost is O(slab), not O(image width)."""
+    and rotates it into place — per-sample cost is O(slab), not O(image width).
+    The LANE roll runs first so the slab can be statically narrowed to one
+    128-lane tile before the SUBLANE roll — the second rotate then moves half
+    the data (windows are <= 127 wide by construction)."""
+    assert w + 1 <= 128
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0).astype(jnp.float32)
@@ -129,8 +133,8 @@ def _sample_slab(ref, x, y, h: int, w: int, lh: int, lw: int):
     xi_al = jnp.clip((xi // 128) * 128, 0, ref.shape[1] - _SLAB)
     xi_al = pl.multiple_of(xi_al, 128)
     slab = ref[pl.ds(yi_al, hs), pl.ds(xi_al, _SLAB)]
+    slab = pltpu.roll(slab, -(xi - xi_al), axis=1)[:, :128]
     slab = pltpu.roll(slab, -(yi - yi_al), axis=0)
-    slab = pltpu.roll(slab, -(xi - xi_al), axis=1)
     p = slab[:h + 1, :w + 1]
     return ((1 - fy) * ((1 - fx) * p[:h, :w] + fx * p[:h, 1:w + 1])
             + fy * ((1 - fx) * p[1:h + 1, :w] + fx * p[1:h + 1, 1:w + 1]))

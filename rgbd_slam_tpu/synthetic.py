@@ -68,15 +68,17 @@ class StripeWallScene(WallScene):
 
     def __init__(self, cam: CameraIntrinsics, wall_x: float = 2800.0,
                  stripe_period: float = 500.0, stripe_width: float = 80.0,
-                 seed: int = 0):
+                 texture_scale: float = 0.12, seed: int = 0):
         super().__init__(cam, wall_x=wall_x, seed=seed)
         self.period = stripe_period
         self.width = stripe_width
+        self.texture_scale = texture_scale
 
     def texture(self, y, z):
         base = (130.0 + 8.0 * np.sin(y / 900.0) + 6.0 * np.cos(z / 1100.0)
                 + self._grid[np.floor(y / self.block).astype(int) % 256,
-                             np.floor(z / self.block).astype(int) % 256] * 0.12)
+                             np.floor(z / self.block).astype(int) % 256]
+                * self.texture_scale)
         sy = (np.mod(y, self.period) < self.width)
         sz = (np.mod(z, self.period) < self.width)
         return base - 70.0 * sy - 50.0 * sz
