@@ -59,6 +59,15 @@ def _convexify(verts, count):
     act = jnp.arange(n) < count
     d = verts[None, :, :] - verts[:, None, :]        # [i, j, 2] = pj - pi
     dn = jnp.sum(d * d, axis=-1)                     # [i, j]
+    # drop duplicate points first (e.g. the shared corners of two merged
+    # polygons): a later copy would otherwise create zero-length cycle edges
+    # that _drop_flat_vertices removes BOTH endpoints of, losing hull area
+    pair = act[:, None] & act[None, :]
+    scale2 = jnp.max(jnp.where(pair, dn, 0.0))
+    idx = jnp.arange(n)
+    dup = pair & (dn <= 1e-10 * jnp.maximum(scale2, 1e-30)) \
+        & (idx[:, None] > idx[None, :])
+    act = act & ~jnp.any(dup, axis=1)
     cross = d[:, :, None, 0] * d[:, None, :, 1] \
         - d[:, :, None, 1] * d[:, None, :, 0]        # [i, j, k] = (pj-pi)x(pk-pi)
     eps = 1e-5 * jnp.sqrt(dn[:, :, None] * dn[:, None, :] + 1e-30)
