@@ -100,11 +100,18 @@ class DetectionConfig:
     # keypoint_detection.cpp:284-285)
     optical_flow_eps_px: float = 0.03
     optical_flow_pyramid_depth: int = 4
-    # Window side for pyramid levels >= 1.  53 = reference behavior (cv
-    # reuses the full winSize at every level).  A smaller coarse window was
-    # tried (27: coverage-monotone, fewer registers) and measured SLOWER
-    # in-kernel (more iterations to converge at coarse levels) — keep 53.
+    # Window side for pyramid levels >= optical_flow_coarse_from_level.
+    # 53 = reference behavior (cv reuses the full winSize at every level) and
+    # the shipped default.  Measured alternatives (round 5): 27 is SLOWER
+    # in-kernel (40-row slabs miss the power-of-two sublane-roll fast path and
+    # it converges in more iterations); 21 is ~30% faster and slightly better
+    # on the nominal orbit (ATE 13.3 vs 14.3 mm) but doubles hard-scene ATE
+    # (29 -> 52-60 mm regardless of which level it starts at) — the window
+    # must stay wide wherever occluder rims / noise pathologies live.
     optical_flow_coarse_window_px: int = 53
+    # first pyramid level the coarse window applies to (ATE-gated deviation;
+    # levels below it keep the full window)
+    optical_flow_coarse_from_level: int = 1
     optical_flow_window_height: int = 9
     optical_flow_window_width: int = 12
     optical_flow_iterations: int = 10
@@ -192,7 +199,13 @@ class MappingConfig:
     plane_staged_drop_misses: int = 2
 
     # fixed SoA capacities (TPU design: masked fixed-size arrays replace the reference's
-    # unordered_map feature containers, SURVEY.md §7)
+    # unordered_map feature containers, SURVEY.md §7).  Occupancy measured on
+    # the room/hard orbits peaks at 224 alive 3D / 8 alive 2D points, so these
+    # could shrink to ~320/64 — but capacity feeds the per-slot RNG stream and
+    # RANSAC subset draws, and the hard-scene ATE is chaotically sensitive to
+    # that reshuffle (29 -> 70 mm swing from a capacity change that never
+    # binds); kept at the round-4 values that the recorded accuracy baselines
+    # were measured with
     max_points_3d: int = 512
     max_points_2d: int = 256
     max_planes: int = 32

@@ -328,6 +328,7 @@ def step(state: SlamState, gray, depth, cam: CameraIntrinsics,
                     if det_cfg.optical_flow_backward_depth >= levels
                     else det_cfg.optical_flow_backward_depth),
         coarse_win=det_cfg.optical_flow_coarse_window_px,
+        coarse_from_level=det_cfg.optical_flow_coarse_from_level,
         eps=det_cfg.optical_flow_eps_px)
     of_ok_t = of_ok_t & state.tracked_ok & (state.frame_idx > 0)
     # scatter tracked-row results back to map slots

@@ -75,13 +75,11 @@ def screen_point_covariance(screen, model: DepthNoiseModel = DepthNoiseModel(),
 
     z = screen[..., 2]
     zq = jnp.where(is_depth_valid(z), get_depth_quantization(z, model), 1000.0)
-    xy_var = xy_sigma_px * xy_sigma_px
-    batch = screen.shape[:-1]
-    cov = jnp.zeros(batch + (3, 3), dtype=screen.dtype)
-    cov = cov.at[..., 0, 0].set(xy_var)
-    cov = cov.at[..., 1, 1].set(xy_var)
-    cov = cov.at[..., 2, 2].set(zq)
-    return cov
+    xy_var = jnp.full_like(z, xy_sigma_px * xy_sigma_px)
+    # one broadcasted multiply instead of three full-array index updates (each
+    # .at[].set on a [N, 3, 3] batch lowered to a separate dynamic-update-slice)
+    diag = jnp.stack([xy_var, xy_var, zq], axis=-1)
+    return diag[..., :, None] * jnp.eye(3, dtype=screen.dtype)
 
 
 def screen_to_camera_covariance(screen, screen_cov, cam: CameraIntrinsics):

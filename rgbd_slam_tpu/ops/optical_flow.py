@@ -94,12 +94,14 @@ def _use_pallas_default():
 
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
-                                   "use_pallas", "coarse_win"))
+                                   "use_pallas", "coarse_win",
+                                   "coarse_from_level"))
 def lk_track(prev_pyramid, next_pyramid, points, points_valid,
              levels: int = 4, win_h: int = 53, win_w: int = 53,
              iterations: int = 10, eps: float = 0.03,
              use_pallas: bool | None = None,
-             coarse_win: int | None = None):
+             coarse_win: int | None = None,
+             coarse_from_level: int = 1):
     """Track ``points`` [N, 2] from the previous to the next image.
 
     ``prev_pyramid``/``next_pyramid`` are lists from :func:`build_pyramid` (length
@@ -130,11 +132,16 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
             pt_l = pt * (0.5 ** lvl)
             # clamp the window to the level size (coarse levels can be tiny)
             lh, lw = prev_pyramid[lvl].shape
-            wh = min(win_h if lvl == 0 else (coarse_win or win_h), lh - 3)
-            ww = min(win_w if lvl == 0 else (coarse_win or win_w), lw - 3)
+            wh = min(win_h if lvl < coarse_from_level else (coarse_win or win_h),
+                     lh - 3)
+            ww = min(win_w if lvl < coarse_from_level else (coarse_win or win_w),
+                     lw - 3)
             g, ok = _lk_level(prev_pyramid[lvl], next_pyramid[lvl], pt_l, g,
                               wh, ww, iterations, eps)
-            ok_all = ok_all & ok
+            # cv parity: only the finest level's structure tensor sets status
+            # (a flat coarse window skips refinement via inv_det = 0 instead)
+            if lvl == 0:
+                ok_all = ok_all & ok
             if lvl > 0:
                 g = g * 2.0
         new_pt = pt + g
@@ -148,14 +155,16 @@ def lk_track(prev_pyramid, next_pyramid, points, points_valid,
 
 @partial(jax.jit, static_argnames=("max_roundtrip_px", "levels", "win_h",
                                    "win_w", "iterations", "use_pallas",
-                                   "bwd_levels", "coarse_win", "eps"))
+                                   "bwd_levels", "coarse_win", "eps",
+                                   "coarse_from_level"))
 def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
                            max_roundtrip_px: float = 30.0,
                            levels: int = 4, win_h: int = 53, win_w: int = 53,
                            iterations: int = 10, use_pallas: bool | None = None,
                            bwd_levels: int | None = None,
                            coarse_win: int | None = None,
-                           eps: float = 0.03):
+                           eps: float = 0.03,
+                           coarse_from_level: int = 1):
     """Forward LK + backward validation (reference: get_keypoints_from_optical_flow,
     keypoint_detection.cpp:262-361): forward track, border filter, backward track,
     reject when the round trip exceeds ``max_roundtrip_px`` (matchSearchRadius).
@@ -175,7 +184,8 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
             list(prev_pyramid), list(next_pyramid), points, points_valid,
             levels=levels, win_h=win_h, win_w=win_w, iterations=iterations,
             batch=4, max_roundtrip=float(max_roundtrip_px),
-            bwd_levels=bwd_levels, coarse_win=coarse_win, eps=eps)
+            bwd_levels=bwd_levels, coarse_win=coarse_win, eps=eps,
+            coarse_from_level=coarse_from_level)
         h, w = prev_pyramid[0].shape
         status = ok & in_border(fwd, h, w, margin=1.0) \
             & jnp.all(jnp.isfinite(fwd), axis=-1)
@@ -184,19 +194,22 @@ def track_forward_backward(prev_pyramid, next_pyramid, points, points_valid,
     fwd, fwd_ok = lk_track(prev_pyramid, next_pyramid, points, points_valid,
                            levels=levels, win_h=win_h, win_w=win_w,
                            iterations=iterations, use_pallas=use_pallas,
-                           coarse_win=coarse_win, eps=eps)
+                           coarse_win=coarse_win, eps=eps,
+                           coarse_from_level=coarse_from_level)
     if bwd_levels is not None and bwd_levels < levels:
         # short backward validation: fewer levels, zero-seeded (same
         # semantics as the Pallas kernel's bwd_levels path)
         bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
                                levels=bwd_levels, win_h=win_h, win_w=win_w,
                                iterations=iterations, use_pallas=use_pallas,
-                               coarse_win=coarse_win, eps=eps)
+                               coarse_win=coarse_win, eps=eps,
+                               coarse_from_level=coarse_from_level)
     else:
         bwd, bwd_ok = lk_track(next_pyramid, prev_pyramid, fwd, fwd_ok,
                                levels=levels, win_h=win_h, win_w=win_w,
                                iterations=iterations, use_pallas=use_pallas,
-                               coarse_win=coarse_win, eps=eps)
+                               coarse_win=coarse_win, eps=eps,
+                               coarse_from_level=coarse_from_level)
     roundtrip = jnp.linalg.norm(points - bwd, axis=-1)
     status = fwd_ok & bwd_ok & (roundtrip <= max_roundtrip_px)
     return jnp.where(status[:, None], fwd, points), status

@@ -140,6 +140,49 @@ def _sample_slab(ref, x, y, h: int, w: int, lh: int, lw: int):
             + fy * ((1 - fx) * p[1:h + 1, :w] + fx * p[1:h + 1, 1:w + 1]))
 
 
+def _sample_slab_mm(ref, x, y, h: int, w: int, lh: int, lw: int):
+    """Bilinear [h, w] window via MXU matmuls: ``P_y @ slab @ R_x``.
+
+    The dynamic lane/sublane rolls of :func:`_sample_slab` serialize ~10
+    log-stage vector permutes per sample; here alignment AND the 4-tap
+    bilinear blend fold into two banded one-hot matrices so the whole sample
+    is two small matmuls the MXU pipelines across the batch:
+
+      R_x[c, j] = (c == xo+j)(1-fx) + (c == xo+j+1) fx      [SLAB, w]
+      P_y[i, r] = (r == yo+i)(1-fy) + (r == yo+i+1) fy      [h, hs]
+      window    = P_y @ (slab @ R_x)                        [h, w]
+
+    Exactness: the banded matrices hold each row's two bilinear taps, so the
+    contraction reproduces the 4-tap blend up to matmul precision (HIGHEST =
+    f32-accurate bf16x6 passes on TPU)."""
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(jnp.float32)
+    fy = (y - y0).astype(jnp.float32)
+    xi = jnp.clip(x0.astype(jnp.int32), 0, lw - (w + 1))
+    yi = jnp.clip(y0.astype(jnp.int32), 0, lh - (h + 1))
+    hs = -(-(h + 9) // 8) * 8
+    yi_al = jnp.clip((yi // 8) * 8, 0, (ref.shape[0] - hs) // 8 * 8)
+    yi_al = pl.multiple_of(yi_al, 8)
+    xi_al = jnp.clip((xi // 128) * 128, 0, ref.shape[1] - _SLAB)
+    xi_al = pl.multiple_of(xi_al, 128)
+    slab = ref[pl.ds(yi_al, hs), pl.ds(xi_al, _SLAB)]     # [hs, SLAB]
+    xo = xi - xi_al                                        # 0..127
+    yo = yi - yi_al                                        # 0..hs-h-1
+
+    # banded bilinear weights as a linear tent: w(c) = max(0, 1 - |c - x*|)
+    # puts (1-f, f) on the two taps in 4 vector ops, no boolean selects
+    col = jax.lax.broadcasted_iota(jnp.int32, (_SLAB, w), 0)
+    tap = jax.lax.broadcasted_iota(jnp.int32, (_SLAB, w), 1) + xo
+    r_x = jnp.maximum(0.0, 1.0 - jnp.abs((col - tap).astype(jnp.float32) - fx))
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, hs), 1)
+    tap_y = jax.lax.broadcasted_iota(jnp.int32, (h, hs), 0) + yo
+    p_y = jnp.maximum(0.0,
+                      1.0 - jnp.abs((row - tap_y).astype(jnp.float32) - fy))
+    tmp = jnp.dot(slab, r_x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(p_y, tmp, precision=jax.lax.Precision.HIGHEST)
+
+
 def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
                        wins: tuple, iterations: int, eps: float):
     """Track one point through every pyramid level (grid = one step per point).
@@ -176,7 +219,8 @@ def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
         gyy = jnp.sum(iy * iy)
         det = gxx * gyy - gxy * gxy
         lvl_ok = (det > 1e-6) & valid
-        ok = ok & lvl_ok
+        if lvl == 0:  # cv parity: only the finest level sets status
+            ok = ok & lvl_ok
         inv_det = jnp.where(lvl_ok, 1.0 / jnp.where(lvl_ok, det, 1.0), 0.0)
 
         def body(carry, tlx=tlx, tly=tly, t=t, ix=ix, iy=iy, gxx=gxx,
@@ -208,7 +252,8 @@ def _lk_pyramid_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
 
 def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
                      dims: tuple, wins: tuple, iterations: int, eps: float,
-                     top_level: int | None = None):
+                     top_level: int | None = None,
+                     sample_fn=_sample_slab):
     """Coarse-to-fine LK for a GROUP of points (python lists of scalars).
 
     The group advances each level in lockstep (one while_loop whose carry holds
@@ -233,8 +278,8 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
         for b in range(batch):
             bx_ = jnp.clip(px[b] * scale - (ww - 1) / 2.0, 2.0, lw - ww - 3.0)
             by_ = jnp.clip(py[b] * scale - (wh - 1) / 2.0, 2.0, lh - wh - 3.0)
-            tp = _sample_slab(src_refs[lvl], bx_ - 1.0, by_ - 1.0,
-                              wh + 2, ww + 2, lh, lw)
+            tp = sample_fn(src_refs[lvl], bx_ - 1.0, by_ - 1.0,
+                           wh + 2, ww + 2, lh, lw)
             tb = tp[1:-1, 1:-1]
             ixb = 0.5 * (tp[1:-1, 2:] - tp[1:-1, :-2])
             iyb = 0.5 * (tp[2:, 1:-1] - tp[:-2, 1:-1])
@@ -243,7 +288,13 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
             c = jnp.sum(iyb * iyb)
             det = a * c - bq * bq
             lvl_ok = (det > 1e-6) & valid[b]
-            ok[b] = ok[b] & lvl_ok
+            # cv parity (calcOpticalFlowPyrLK): a singular structure tensor at
+            # a COARSE level skips that level's refinement (inv_det = 0 below)
+            # but does not fail the track — only the finest level sets status.
+            # Weak-texture regions often have enough gradient at full
+            # resolution while their downsampled coarse windows are flat.
+            if lvl == 0:
+                ok[b] = ok[b] & lvl_ok
             tlx.append(bx_)
             tly.append(by_)
             t.append(tb)
@@ -261,8 +312,8 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
             it, cgx, cgy, done = carry
             ngx, ngy, ndone = [], [], []
             for b in range(batch):
-                j = _sample_slab(dst_refs[lvl], tlx[b] + cgx[b],
-                                 tly[b] + cgy[b], wh, ww, lh, lw)
+                j = sample_fn(dst_refs[lvl], tlx[b] + cgx[b],
+                              tly[b] + cgy[b], wh, ww, lh, lw)
                 diff = t[b] - j
                 bx = jnp.sum(ix[b] * diff)
                 by = jnp.sum(iy[b] * diff)
@@ -294,7 +345,8 @@ def _track_direction(src_refs, dst_refs, px, py, valid, *, levels: int,
 
 def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
                        wins: tuple, iterations: int, eps: float, batch: int,
-                       max_roundtrip: float, bwd_levels: int | None = None):
+                       max_roundtrip: float, bwd_levels: int | None = None,
+                       mm_sample: bool = False):
     """Forward + backward pyramidal LK + round-trip gate for ``batch`` points
     per grid step, all in one kernel launch (reference behavior:
     get_keypoints_from_optical_flow, keypoint_detection.cpp:262-361).
@@ -320,7 +372,7 @@ def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
     valid = [valid_ref[base + b] > 0 for b in range(batch)]
 
     kw = dict(levels=levels, dims=dims, wins=wins, iterations=iterations,
-              eps=eps)
+              eps=eps, sample_fn=_sample_slab_mm if mm_sample else _sample_slab)
     fgx, fgy, fok = _track_direction(prev_refs, next_refs, px, py, valid, **kw)
     fx = [px[b] + fgx[b] for b in range(batch)]
     fy = [py[b] + fgy[b] for b in range(batch)]
@@ -351,32 +403,39 @@ def _lk_fwd_bwd_kernel(pts_ref, valid_ref, *refs, levels: int, dims: tuple,
 
 @partial(jax.jit, static_argnames=("levels", "win_h", "win_w", "iterations",
                                    "eps", "batch", "max_roundtrip", "interpret",
-                                   "bwd_levels", "coarse_win"))
+                                   "bwd_levels", "coarse_win",
+                                   "coarse_from_level", "mm_sample"))
 def lk_fwd_bwd_pallas(prev_pyramid, next_pyramid, points, valid,
                       levels: int = 4, win_h: int = 53, win_w: int = 53,
                       iterations: int = 10, eps: float = 0.03,
                       batch: int = 8, max_roundtrip: float = 35.0,
                       interpret: bool = False, bwd_levels: int | None = None,
-                      coarse_win: int | None = None):
+                      coarse_win: int | None = None,
+                      coarse_from_level: int = 1,
+                      mm_sample: bool = False):
     """Fused forward+backward pyramidal LK with the round-trip gate.
 
     Returns (tracked_points [N, 2], ok [N] bool).  One kernel launch tracks
     ``batch`` points per grid step — the independent chains give the VPU
     instruction-level parallelism that the one-point-per-step kernel lacks.
 
-    ``coarse_win`` (deviation, ATE-gated): window side for pyramid levels >= 1.
-    cv (and the reference) reuse the full winSize at every level, so the
-    level-1 window already spans 2x the level-0 aggregation scale; a coarse
-    window of ~win/2 keeps the full-resolution coverage monotone
-    (27*2^k >= 53*2^(k-1)) while nearly halving the per-iteration register
-    traffic at the levels where most iterations run."""
+    ``coarse_win`` (deviation, ATE-gated): window side for pyramid levels
+    >= ``coarse_from_level``.  cv (and the reference) reuse the full winSize
+    at every level, so a level-k window already spans 2^k x the level-0
+    aggregation scale; a smaller coarse window keeps the full-resolution
+    coverage monotone while shrinking the per-iteration slab-roll and
+    register traffic at the levels where most iterations run.  Applying it
+    only from level 2 up preserves the wide level-1 search basin that the
+    occlusion-burst (hard-scene) tracking depends on."""
     n = points.shape[0]
     assert n % batch == 0, f"point count {n} must be a multiple of {batch}"
     dims = tuple((int(p.shape[0]), int(p.shape[1]))
                  for p in prev_pyramid[:levels + 1])
     wins = tuple(
-        (min(win_h if lvl == 0 else (coarse_win or win_h), lh - 8),
-         min(win_w if lvl == 0 else (coarse_win or win_w), lw - 8))
+        (min(win_h if lvl < coarse_from_level else (coarse_win or win_h),
+             lh - 8),
+         min(win_w if lvl < coarse_from_level else (coarse_win or win_w),
+             lw - 8))
         for lvl, (lh, lw) in enumerate(dims))
     prev_pad = [_pad_level(p) for p in prev_pyramid[:levels + 1]]
     next_pad = [_pad_level(p) for p in next_pyramid[:levels + 1]]
@@ -395,7 +454,8 @@ def lk_fwd_bwd_pallas(prev_pyramid, next_pyramid, points, valid,
     out_g, out_ok = pl.pallas_call(
         partial(_lk_fwd_bwd_kernel, levels=levels, dims=dims, wins=wins,
                 iterations=iterations, eps=eps, batch=batch,
-                max_roundtrip=max_roundtrip, bwd_levels=bwd_levels),
+                max_roundtrip=max_roundtrip, bwd_levels=bwd_levels,
+                mm_sample=mm_sample),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 2), jnp.float32),

@@ -29,13 +29,15 @@ def initial_covariance(pose_cov33, det: DetectionConfig = DetectionConfig(),
     origin block, (baseline/4)^2 on rho, (0.5 deg)^2 on the angles
     (reference: PointInverseDepth ctor, inverse_depth_with_tracking.cpp:23-50)."""
     batch = pose_cov33.shape[:-2]
+    ang_var = (det.inverse_depth_angle_baseline_d * math.pi / 180.0) ** 2
+    # single block update + one broadcasted diagonal add (three scalar .at[]
+    # sets on a [N, 6, 6] batch each cost a full dynamic-update-slice)
+    diag = jnp.asarray([0.0, 0.0, 0.0,
+                        (det.inverse_depth_baseline / 4.0) ** 2,
+                        ang_var, ang_var], dtype)
     cov = jnp.zeros(batch + (6, 6), dtype=dtype)
     cov = cov.at[..., :3, :3].set(pose_cov33.astype(dtype))
-    cov = cov.at[..., 3, 3].set((det.inverse_depth_baseline / 4.0) ** 2)
-    ang_var = (det.inverse_depth_angle_baseline_d * math.pi / 180.0) ** 2
-    cov = cov.at[..., 4, 4].set(ang_var)
-    cov = cov.at[..., 5, 5].set(ang_var)
-    return cov
+    return cov + diag * jnp.eye(6, dtype=dtype)
 
 
 def cartesian_covariance(state, cov66):
