@@ -68,9 +68,12 @@ class StripeWallScene(WallScene):
 
     def __init__(self, cam: CameraIntrinsics, wall_x: float = 2800.0,
                  stripe_period: float = 500.0, stripe_width: float = 80.0,
-                 texture_scale: float = 0.12, seed: int = 0):
+                 texture_scale: float = 0.12, seed: int = 0,
+                 stripe_period_z: float | None = None):
         super().__init__(cam, wall_x=wall_x, seed=seed)
         self.period = stripe_period
+        self.period_z = stripe_period if stripe_period_z is None \
+            else stripe_period_z
         self.width = stripe_width
         self.texture_scale = texture_scale
 
@@ -80,7 +83,7 @@ class StripeWallScene(WallScene):
                              np.floor(z / self.block).astype(int) % 256]
                 * self.texture_scale)
         sy = (np.mod(y, self.period) < self.width)
-        sz = (np.mod(z, self.period) < self.width)
+        sz = (np.mod(z, self.period_z) < self.width)
         return base - 70.0 * sy - 50.0 * sz
 
 
@@ -328,6 +331,23 @@ def orbit_trajectory(n_frames: int, speed_mm: float = 4.0,
         pitch = np.radians(pitch_rate_d) * i
         quat = _quat_from_euler(yaw, pitch, 0.0)
         pos = np.array([1.5 * i, speed_mm * i, 0.4 * speed_mm * i], np.float32)
+        poses.append((quat, pos))
+    return poses
+
+
+def roll_trajectory(n_frames: int, roll_amp_d: float = 30.0,
+                    speed_mm: float = 2.0, yaw_rate_d: float = 0.05):
+    """Roll-heavy ground truth (fr1_rpy analogue, reference README.md:40-43):
+    the camera rolls +-``roll_amp_d`` about its optical axis while translating
+    slowly.  Roll is the axis BRIEF descriptors are NOT invariant to
+    (keypoint_detection.cpp:34-45 carries an ORB option for exactly this), so
+    this leg measures the rotation-robustness bound of the BRIEF+LK pipeline."""
+    poses = []
+    for i in range(n_frames):
+        roll = np.radians(roll_amp_d) * np.sin(2.0 * np.pi * i / n_frames)
+        yaw = np.radians(yaw_rate_d) * i
+        quat = _quat_from_euler(yaw, 0.0, roll)
+        pos = np.array([0.5 * i, speed_mm * i, 0.0], np.float32)
         poses.append((quat, pos))
     return poses
 
