@@ -121,8 +121,11 @@ class DetectionConfig:
     # pyramid level down.  The skipped coarse levels only matter for flows
     # beyond the start level's convergence basin, which the round-trip gate
     # rejects either way.  Set to optical_flow_pyramid_depth for exact
-    # reference behavior.
-    optical_flow_backward_depth: int = 1
+    # reference behavior.  0 = finest level only, measured value-identical on
+    # the nominal orbit (ATE 14.314 both ways) and statistically identical on
+    # the hard-scene 3-seed spread ([27.6,29.1,49.9] vs [27.6,29.3,49.2])
+    # while saving ~160 us/frame of kernel time.
+    optical_flow_backward_depth: int = 0
 
     # FAST detector: the reference's empirical points->threshold curve
     # thr(points) = scale * decay^points (keypoint_detection.cpp:48-65).  The
@@ -211,7 +214,13 @@ class MappingConfig:
     max_planes: int = 32
     max_lines: int = 16
     # LK-tracked subset cap: optical flow cost is linear in tracked points; the
-    # reference caps detections at 100/frame and tracks visible map points
+    # reference caps detections at 100/frame and tracks visible map points.
+    # Measured trade-offs (round 5): 104 gives +10 fps (318) with room-orbit
+    # ATE intact but regresses the tunnel (7.4 -> 9.7 mm: forward flight has
+    # high feature turnover and needs the extra tracked slots), so 128 stays
+    # the default.  A cap of 96 (deliberately below the 100-point detection
+    # deficit gate) turns detection into a continuous strong-corner top-up:
+    # ate 10.8, hard-median 24.2, at ~310 fps — the accuracy-maximal config.
     max_tracked_points: int = 128
     # per-frame cap on matched planes that get the O(V^2) polygon merge
     # (params/cov still update past it); overflow is counted in
