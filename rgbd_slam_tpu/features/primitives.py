@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..config import CameraIntrinsics, DetectionConfig
 from ..geometry.covariances import get_depth_quantization
-from ..ops.depth_cloud import depth_to_cloud, organize_by_cells
+from ..ops.depth_cloud import depth_to_cloud
 from ..utils import polygon as poly
 from . import moments
 
@@ -126,17 +126,64 @@ def fit_plane_from_moments(cnt, mean, m2):
 
 def fit_cells(cloud, valid, cfg: DetectionConfig = DetectionConfig()) -> CellGrid:
     """Batched plane fit of every depth-patch cell (reference:
-    Plane_Segment::init_plane_segment, plane_segment.cpp:102-167)."""
+    Plane_Segment::init_plane_segment, plane_segment.cpp:102-167).
+
+    Moments come from BLOCK-VIEW reductions over ``[gh, patch, gw, patch]``
+    reshapes of the dense cloud — no materialized cell reorder (the old
+    ``organize_by_cells`` transpose cost ~70 us/frame of pure copies;
+    depth_cloud.py keeps it for callers that need the per-cell point list)."""
     patch = cfg.depth_patch_size_px
-    cells = organize_by_cells(cloud, patch)            # [C, P, 3]
-    vmask = organize_by_cells(valid[..., None].astype(cloud.dtype), patch)[..., 0]
-    c = cells.shape[0]
+    h, w = cloud.shape[:2]
+    gh, gw = h // patch, w // patch
+    c = gh * gw
     ppc = patch * patch
+    dt = cloud.dtype
 
-    z_cells = cells[..., 2].reshape(c, patch, patch)
-    continuous = _cell_continuity(z_cells, patch)
+    blocks = cloud.reshape(gh, patch, gw, patch, 3)
+    wts = valid.astype(dt).reshape(gh, patch, gw, patch)
 
-    cnt, mean, m2 = moments.from_points(cells, vmask)
+    # continuity test on each cell's middle row/column, sliced from the dense
+    # depth channel (is_cell_horizontal/vertical_continuous,
+    # plane_segment.cpp:62-100)
+    mid = patch // 2
+    z = cloud[..., 2]
+    row_lines = z[mid::patch, :].reshape(gh, 1, gw, patch) \
+        .transpose(0, 2, 1, 3).reshape(c, 1, patch)
+    col_lines = z[:, mid::patch].reshape(gh, patch, gw, 1) \
+        .transpose(0, 2, 3, 1).reshape(c, 1, patch)
+
+    def line_continuous(line):
+        prev = line[:, :, :-1]
+        nxt = line[:, :, 1:]
+        both = (prev > 0) & (nxt > 0)
+        jump = jnp.abs(nxt - prev) \
+            > 4.0 * get_depth_quantization(jnp.maximum(nxt, 1.0))
+        return ~jnp.any(both & jump, axis=(-1, -2))
+
+    continuous = line_continuous(row_lines) & line_continuous(col_lines)
+
+    cnt = jnp.sum(wts, axis=(1, 3)).reshape(c)
+    safe = jnp.maximum(cnt, 1.0)
+    sum_p = jnp.stack([jnp.sum(wts * blocks[..., i], axis=(1, 3))
+                       for i in range(3)], -1).reshape(c, 3)
+    mean = sum_p / safe[:, None]
+    # M2 as 6 symmetric channel products, each one dense [H, W]-shaped
+    # multiply + block reduction (a single 5-axis einsum here lowered to a
+    # ~180 us streaming contraction; the channel form fuses cleanly)
+    mb = mean.reshape(gh, 1, gw, 1, 3)
+    dev = [wts * (blocks[..., i] - mb[..., i]) for i in range(3)]
+    raw = [blocks[..., i] - mb[..., i] for i in range(3)]
+    m2 = jnp.zeros((c, 3, 3), dt)
+    cols = []
+    for i in range(3):
+        row = [None, None, None]
+        for j in range(3):
+            if j < i:
+                row[j] = cols[j][i]
+            else:
+                row[j] = jnp.sum(dev[i] * raw[j], axis=(1, 3)).reshape(c)
+        cols.append(row)
+    m2 = jnp.stack([jnp.stack(r, -1) for r in cols], -2)
 
     min_points = int(ppc * cfg.min_zero_depth_proportion)
     enough = (cnt >= min_points) & (cnt >= ppc // 2)
@@ -149,7 +196,9 @@ def fit_cells(cloud, valid, cfg: DetectionConfig = DetectionConfig()) -> CellGri
 
     # dynamic per-cell merge distance tolerance (primitive_detection.cpp:210-227)
     sin_merge = math.sin(math.radians(cfg.max_plane_merge_angle_d))
-    diameter = jnp.linalg.norm(cells[:, -1, :] - cells[:, 0, :], axis=-1)
+    corner0 = cloud[::patch, ::patch].reshape(c, 3)
+    corner1 = cloud[patch - 1::patch, patch - 1::patch].reshape(c, 3)
+    diameter = jnp.linalg.norm(corner1 - corner0, axis=-1)
     tol = jnp.minimum(cfg.max_plane_merge_distance_mm,
                       diameter * sin_merge * jnp.sqrt(jnp.maximum(cnt, 1.0)))
     tol = jnp.where(planar, tol, 0.0)
