@@ -84,22 +84,6 @@ class DetectedCylinders(NamedTuple):
 # per-cell fitting
 # ---------------------------------------------------------------------------
 
-def _cell_continuity(cell_z, patch: int):
-    """Vectorized depth-continuity cross test (reference:
-    is_cell_horizontal/vertical_continuous, plane_segment.cpp:62-100): scan the middle
-    row and column; a jump above 4x the depth quantization breaks the cell."""
-    mid = patch // 2
-
-    def line_continuous(line):
-        prev = line[:, :-1]
-        nxt = line[:, 1:]
-        both = (prev > 0) & (nxt > 0)
-        jump = jnp.abs(nxt - prev) > 4.0 * get_depth_quantization(jnp.maximum(nxt, 1.0))
-        return ~jnp.any(both & jump, axis=-1)
-
-    return line_continuous(cell_z[:, mid, :]) & line_continuous(cell_z[:, :, mid])
-
-
 def fit_plane_from_moments(cnt, mean, m2):
     """Closed-form eigen plane fit from centered moments (reference:
     Plane_Segment::fit_plane, plane_segment.cpp:232-284).  Batched.
@@ -173,7 +157,6 @@ def fit_cells(cloud, valid, cfg: DetectionConfig = DetectionConfig()) -> CellGri
     mb = mean.reshape(gh, 1, gw, 1, 3)
     dev = [wts * (blocks[..., i] - mb[..., i]) for i in range(3)]
     raw = [blocks[..., i] - mb[..., i] for i in range(3)]
-    m2 = jnp.zeros((c, 3, 3), dt)
     cols = []
     for i in range(3):
         row = [None, None, None]

@@ -60,6 +60,7 @@ def perturb(rng, gt_poses, landmarks, pose_mm=30.0, lm_mm=40.0):
 
 
 class TestSingleDeviceBA:
+    @pytest.mark.smoke
     def test_converges_to_ground_truth(self, rng):
         gt_poses, gt_lm, obs_kf, uv, mask = make_window(rng)
         poses0, lm0 = perturb(rng, gt_poses, gt_lm)

@@ -116,6 +116,7 @@ class TestEngineStatic:
 
 
 class TestEngineMotion:
+    @pytest.mark.smoke
     def test_lateral_translation_tracked(self):
         speed = 4.0  # mm/frame along world y
 

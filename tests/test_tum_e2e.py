@@ -69,6 +69,7 @@ def make_tum_room_dataset(tmp_path, n_frames=5):
     return str(d), str(yaml)
 
 
+@pytest.mark.smoke
 def test_run_tum_end_to_end(tmp_path):
     dataset, yaml = make_tum_room_dataset(tmp_path, n_frames=5)
     traj_out = str(tmp_path / "traj.txt")
